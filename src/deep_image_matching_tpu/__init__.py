@@ -1,0 +1,26 @@
+"""deep-image-matching-tpu: TPU-native multiview image matching for SfM.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+3DOM-FBK/deep-image-matching: pair generation, a zoo of local-feature
+extractors and matchers running as batched jitted programs sharded over a
+TPU mesh, geometric verification (host USAC or on-device batched RANSAC),
+HDF5 + COLMAP database export, and SfM reconstruction hooks.
+
+Public API parity with the reference (``__init__.py:38-44``):
+``Config``, ``ImageMatcher``, plus the enums and timer/logger utilities.
+"""
+
+__version__ = "0.1.0"
+
+from .config import Config, confs, opt_zoo  # noqa: F401
+from .constants import (  # noqa: F401
+    GeometricVerification,
+    Quality,
+    TileSelection,
+)
+from .image_matching import ImageMatcher  # noqa: F401
+from .utils.logger import change_logger_level, setup_logger  # noqa: F401
+from .utils.timer import Timer, timeit  # noqa: F401
+
+logger = setup_logger(name="dim_tpu", log_level="info")
+timer = Timer(logger=logger)

@@ -1,0 +1,208 @@
+"""Extractor template: load -> resize -> (tiled) extract -> rescale -> h5.
+
+Parity: reference ``extractors/extractor_base.py:102-487`` — the template
+method ``extract()`` (image load, grayscale/float conversion, quality resize,
+whole-image or per-tile extraction with origin offsetting / border filtering /
+dedup, keypoint rescale back to full resolution, h5 write) and the
+FeaturesDict schema (``:21-26``).
+
+TPU-native shape: subclasses produce **fixed-capacity padded arrays**
+(``keypoints (K,2)``, ``descriptors (K,D)``, ``scores (K,)``, plus a valid
+count) so every device program has static shapes; the base trims padding just
+before the h5 write. Device-backed extractors additionally override
+``extract_batch`` to process several images per compiled call; the base
+provides a sequential fallback so host extractors (SIFT/ORB) share the same
+pipeline interface.
+"""
+
+from __future__ import annotations
+
+import inspect
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from ..constants import Quality, TileSelection, get_size_by_quality, quality_factor
+from ..io.h5 import save_features
+from ..utils.image import Image, read_image, resize_image
+from ..utils.tiling import Tiler
+
+logger = logging.getLogger("dim_tpu")
+
+FeaturesDict = Dict[str, np.ndarray]
+
+
+class ExtractorBase:
+    default_conf: Dict = {}
+    grayscale: bool = True
+    as_float: bool = True
+    descriptor_size: int = 0
+
+    def __init__(self, config: dict):
+        self.config = config
+        extractor_conf = config.get("extractor", {})
+        self.conf = {**self.default_conf, **extractor_conf}
+        general = config.get("general", {})
+        self.quality: Quality = general.get("quality", Quality.HIGH)
+        self.tile_selection: TileSelection = general.get(
+            "tile_selection", TileSelection.NONE
+        )
+        self.tile_size = general.get("tile_size", (2400, 2000))
+        self.tile_overlap = general.get("tile_overlap", 10)
+
+    # ------------------------------------------------------------------ API
+    def extract(self, img: Union[Image, Path, str]) -> FeaturesDict:
+        """Extract features for one image at the configured quality and
+        return them in full-resolution coordinates (not yet written to h5)."""
+        if not isinstance(img, Image):
+            img = Image(img)
+        image = self._load(img)
+        orig_hw = image.shape[:2]
+        image = self._quality_resize(image)
+
+        if self.tile_selection is TileSelection.NONE:
+            feats = self._extract(image)
+        else:
+            feats = self._extract_by_tile(image)
+        feats = self._trim(feats)
+        feats = self._rescale_features(feats, image.shape[:2], orig_hw)
+        feats["image_size"] = np.array([orig_hw[1], orig_hw[0]], dtype=np.int64)
+        return feats
+
+    def extract_and_save(self, img: Union[Image, Path, str], feature_path) -> None:
+        if not isinstance(img, Image):
+            img = Image(img)
+        feats = self.extract(img)
+        save_features(
+            feature_path,
+            img.name,
+            keypoints=feats["keypoints"],
+            descriptors=feats.get("descriptors"),
+            scores=feats.get("scores"),
+            tile_idx=feats.get("tile_idx"),
+            image_size=feats["image_size"],
+        )
+
+    def extract_batch(self, images: List[Image], feature_path) -> None:
+        """Extract features for a list of images. Host extractors loop;
+        device extractors override with a padded batched program."""
+        for img in images:
+            self.extract_and_save(img, feature_path)
+
+    # -------------------------------------------------------------- template
+    def _extract(self, image: np.ndarray) -> FeaturesDict:
+        """Subclass hook: image (H, W) or (H, W, 3) -> FeaturesDict with
+        ``keypoints (N,2)``, optional ``descriptors (N,D)``, ``scores (N,)``.
+        N may be a padded capacity if ``n_valid`` is also returned."""
+        raise NotImplementedError
+
+    def _load(self, img: Image) -> np.ndarray:
+        image = read_image(img.path, grayscale=self.grayscale)
+        if self.as_float:
+            image = image.astype(np.float32) / 255.0
+        return image
+
+    def _quality_resize(self, image: np.ndarray) -> np.ndarray:
+        if self.quality is Quality.HIGH:
+            return image
+        h, w = image.shape[:2]
+        new_w, new_h = get_size_by_quality(self.quality, (w, h))
+        return resize_image(image, (max(new_w, 1), max(new_h, 1)))
+
+    def _extract_by_tile(self, image: np.ndarray) -> FeaturesDict:
+        """Tile the image, extract per tile, offset to image coordinates,
+        drop padding-border keypoints, dedup (reference
+        ``extractor_base.py:279-390``)."""
+        tiler = Tiler()
+        tiles, origins, _ = tiler.compute_tiles_array(
+            image, self.tile_size, self.tile_overlap
+        )
+        h, w = image.shape[:2]
+        all_kpts, all_desc, all_scores, all_tile = [], [], [], []
+        for idx in range(len(tiles)):
+            feats = self._trim(self._extract(tiles[idx]))
+            kpts = feats["keypoints"] + origins[idx][None, :].astype(np.float32)
+            keep = (
+                (kpts[:, 0] >= 0) & (kpts[:, 0] < w)
+                & (kpts[:, 1] >= 0) & (kpts[:, 1] < h)
+            )
+            all_kpts.append(kpts[keep])
+            if "descriptors" in feats:
+                all_desc.append(feats["descriptors"][keep])
+            if "scores" in feats:
+                all_scores.append(feats["scores"][keep])
+            all_tile.append(np.full(int(keep.sum()), idx, dtype=np.float32))
+        kpts = np.concatenate(all_kpts, axis=0) if all_kpts else np.zeros((0, 2), np.float32)
+        out: FeaturesDict = {"keypoints": kpts, "tile_idx": np.concatenate(all_tile)}
+        if all_desc:
+            out["descriptors"] = np.concatenate(all_desc, axis=0)
+        if all_scores:
+            out["scores"] = np.concatenate(all_scores, axis=0)
+        # dedup on rounded coordinates (overlap regions produce duplicates)
+        _, unique_idx = np.unique(np.round(kpts).astype(np.int64), axis=0, return_index=True)
+        unique_idx = np.sort(unique_idx)
+        for k in ("keypoints", "descriptors", "scores", "tile_idx"):
+            if k in out:
+                out[k] = out[k][unique_idx]
+        # cap at max keypoints by score if the union exceeds the budget
+        max_kpts = self._max_keypoints()
+        if max_kpts and len(out["keypoints"]) > max_kpts and "scores" in out:
+            top = np.argsort(-out["scores"])[:max_kpts]
+            top = np.sort(top)
+            for k in ("keypoints", "descriptors", "scores", "tile_idx"):
+                if k in out:
+                    out[k] = out[k][top]
+        return out
+
+    def _max_keypoints(self) -> Optional[int]:
+        for key in ("max_keypoints", "max_num_keypoints", "n_features"):
+            if key in self.conf:
+                return int(self.conf[key])
+        return None
+
+    @staticmethod
+    def _trim(feats: FeaturesDict) -> FeaturesDict:
+        """Trim capacity padding using ``n_valid`` if present."""
+        n = feats.pop("n_valid", None)
+        if n is None:
+            return feats
+        n = int(n)
+        out = {}
+        for k, v in feats.items():
+            if k in ("keypoints", "descriptors", "scores", "tile_idx"):
+                out[k] = v[:n]
+            else:
+                out[k] = v
+        return out
+
+    def _rescale_features(
+        self, feats: FeaturesDict, cur_hw, orig_hw
+    ) -> FeaturesDict:
+        if cur_hw == tuple(orig_hw):
+            return feats
+        sx = orig_hw[1] / cur_hw[1]
+        sy = orig_hw[0] / cur_hw[0]
+        feats = dict(feats)
+        feats["keypoints"] = feats["keypoints"] * np.array([sx, sy], np.float32)
+        return feats
+
+
+# ---------------------------------------------------------------------------
+# Reflection loader (reference ``extractors/extractor_base.py:29-54``)
+# ---------------------------------------------------------------------------
+
+def extractor_loader(root_module, name: str):
+    """Find the ExtractorBase subclass defined in ``root_module.<name>``."""
+    import importlib
+
+    module = importlib.import_module(f"{root_module.__name__}.{name}")
+    classes = [
+        c for _, c in inspect.getmembers(module, inspect.isclass)
+        if issubclass(c, ExtractorBase) and c is not ExtractorBase
+        and c.__module__ == module.__name__
+    ]
+    if not classes:
+        raise ImportError(f"No extractor class found in module '{name}'")
+    return classes[0]

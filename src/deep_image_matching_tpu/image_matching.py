@@ -1,0 +1,119 @@
+"""Pipeline orchestrator: pairs -> extract -> match.
+
+Parity: reference ``image_matching.py:199-765`` ``ImageMatcher`` — scans the
+image dir, reflection-loads the configured extractor + matcher, generates
+pairs, extracts features into features.h5 and matches pairs into
+raw_matches.h5 / matches.h5 (with geometric verification and gating inside
+the matcher). Optional upright rotation handled in ``upright.py``.
+
+TPU-native shape: extraction and matching are *batched jitted programs* fed
+by the padded feature store; the reference's per-image/per-pair Python loops
+(``image_matching.py:429, 467``) exist here only as the host fallback for
+CPU extractors. Device-side work is sharded data-parallel across the mesh
+(see ``parallel/mesh.py``).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+from . import extractors as extractors_pkg
+from . import matchers as matchers_pkg
+from .config import Config
+from .extractors.extractor_base import extractor_loader
+from .matchers.matcher_base import matcher_loader
+from .pairs_generator import PairsGenerator
+from .utils.image import ImageList
+from .utils.timer import Timer
+
+logger = logging.getLogger("dim_tpu")
+
+
+class ImageMatcher:
+    def __init__(self, config: Config):
+        self.config = config
+        self.image_dir = Path(config.image_dir)
+        self.output_dir = Path(config.output_dir)
+        self.image_list = ImageList(self.image_dir)
+        logger.info(f"Found {len(self.image_list)} images in {self.image_dir}")
+
+        cfg_dict = {
+            "general": config.general,
+            "extractor": config.extractor,
+            "matcher": config.matcher,
+        }
+        extractor_cls = extractor_loader(extractors_pkg, config.extractor["name"])
+        matcher_cls = matcher_loader(matchers_pkg, config.matcher["name"])
+        self.extractor = extractor_cls(cfg_dict)
+        self.matcher = matcher_cls(cfg_dict)
+        logger.info(
+            f"Pipeline: extractor={config.extractor['name']} "
+            f"matcher={config.matcher['name']}"
+        )
+
+    # ------------------------------------------------------------------ run
+    def run(self) -> Tuple[Path, Path]:
+        """Full matching pipeline; returns (feature_path, match_path)."""
+        timer = Timer(logger=logger, cumulate_by_key=True)
+        pairs = self.generate_pairs()
+        timer.update("generate_pairs")
+
+        if self.config.general.get("upright"):
+            from .upright import rotate_upright_images
+
+            self.rotated = rotate_upright_images(
+                self.image_list, self.output_dir, self.config
+            )
+            timer.update("upright")
+
+        feature_path = self.extract_features()
+        timer.update("extract_features")
+        match_path = self.match_pairs(pairs, feature_path)
+        timer.update("match_pairs")
+
+        if self.config.general.get("upright"):
+            from .upright import rotate_back_features
+
+            rotate_back_features(feature_path, self.rotated)
+            timer.update("rotate_back")
+        timer.print("ImageMatcher")
+        return feature_path, match_path
+
+    def generate_pairs(self) -> List[Tuple[str, str]]:
+        general = self.config.general
+        gen = PairsGenerator(
+            self.image_list,
+            general.get("matching_strategy", "bruteforce"),
+            self.output_dir,
+            overlap=general.get("overlap"),
+            pair_file=general.get("pair_file"),
+            retrieval=general.get("retrieval"),
+            db_path=general.get("db_path"),
+            config=self.config,
+        )
+        self.pairs = gen.run()
+        return self.pairs
+
+    def extract_features(self) -> Path:
+        feature_path = self.output_dir / "features.h5"
+        if feature_path.exists():
+            feature_path.unlink()
+        self.extractor.extract_batch(list(self.image_list), feature_path)
+        logger.info(f"Features saved to {feature_path}")
+        return feature_path
+
+    def match_pairs(self, pairs, feature_path: Path) -> Path:
+        match_path = self.output_dir / "matches.h5"
+        raw_path = self.output_dir / "raw_matches.h5"
+        for p in (match_path, raw_path):
+            if p.exists():
+                p.unlink()
+        results = self.matcher.match_all(pairs, feature_path, match_path)
+        kept = sum(1 for v in results.values() if v > 0)
+        logger.info(
+            f"Matched {kept}/{len(pairs)} pairs passed verification "
+            f"-> {match_path}"
+        )
+        return match_path

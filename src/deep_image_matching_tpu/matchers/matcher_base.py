@@ -1,0 +1,310 @@
+"""Matcher templates: sparse feature matching + verification + h5 writes.
+
+Parity: reference ``matchers/matcher_base.py:63-573`` — template ``match()``
+(load two feature sets from h5 -> ``_match_pairs`` -> raw_matches.h5 ->
+quality-scaled GV threshold -> geometric verification -> min-inlier /
+inlier-ratio gates -> matches.h5) and the detector-free variant that takes
+image paths and appends new keypoints to features.h5
+(``matcher_base.py:575-983``).
+
+TPU-native shape: ``BatchedMatcher`` is the hot path. It loads all features
+once, pads them to a fixed keypoint capacity (multiple of 128), stacks pair
+batches into (B, K, D) arrays and runs one jitted program per batch
+(``_match_batch_arrays``), optionally verifying the whole batch with the
+on-device RANSAC (``ops/ransac.py``) instead of per-pair host USAC calls.
+The per-pair Python loop of the reference (``image_matching.py:467-487``)
+becomes one device program per B pairs.
+"""
+
+from __future__ import annotations
+
+import inspect
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import KPT_PAD_MULTIPLE, Quality
+from ..io.h5 import get_features, list_h5_names, save_matches
+from ..utils.geometric_verification import geometric_verification
+from ..constants import GeometricVerification
+
+logger = logging.getLogger("dim_tpu")
+
+# GV pixel threshold is scaled when matching at reduced quality
+# (reference ``matcher_base.py:298-308``).
+GV_QUALITY_SCALES = {
+    Quality.HIGHEST: 1.0,
+    Quality.HIGH: 1.0,
+    Quality.MEDIUM: 1.5,
+    Quality.LOW: 2.0,
+    Quality.LOWEST: 3.0,
+}
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class MatcherBase:
+    default_conf: Dict = {}
+
+    def __init__(self, config: dict):
+        self.config = config
+        matcher_conf = config.get("matcher", {})
+        self.conf = {**self.default_conf, **matcher_conf}
+        general = config.get("general", {})
+        self.quality: Quality = general.get("quality", Quality.HIGH)
+        self.gv_method = general.get("geom_verification", GeometricVerification.MAGSAC)
+        self.gv_threshold = float(general.get("gv_threshold", 4.0))
+        self.gv_confidence = float(general.get("gv_confidence", 0.99999))
+        self.min_inliers_per_pair = int(general.get("min_inliers_per_pair", 15))
+        self.min_inlier_ratio_per_pair = float(
+            general.get("min_inlier_ratio_per_pair", 0.15)
+        )
+        self.tpu = dict(general.get("tpu", {}))
+
+    # ------------------------------------------------------------------ API
+    def match(
+        self,
+        feature_path: Path,
+        matches_path: Path,
+        img0: str,
+        img1: str,
+    ) -> Optional[np.ndarray]:
+        """Match one pair; returns verified (M,2) matches or None if the
+        pair was dropped by the gates."""
+        feats0 = get_features(feature_path, img0)
+        feats1 = get_features(feature_path, img1)
+        matches = self._match_pairs(feats0, feats1)
+        self._save_raw(matches_path, img0, img1, matches)
+        return self._verify_and_save(
+            matches_path, img0, img1, matches,
+            feats0["keypoints"], feats1["keypoints"],
+        )
+
+    def match_all(
+        self,
+        pairs: List[Tuple[str, str]],
+        feature_path: Path,
+        matches_path: Path,
+    ) -> Dict[Tuple[str, str], int]:
+        """Match a pair list; base implementation loops (host matchers)."""
+        results: Dict[Tuple[str, str], int] = {}
+        for img0, img1 in pairs:
+            try:
+                m = self.match(feature_path, matches_path, img0, img1)
+                results[(img0, img1)] = 0 if m is None else len(m)
+            except Exception as e:  # keep going (reference behavior)
+                logger.warning(f"Matching {img0}-{img1} failed: {e}")
+                results[(img0, img1)] = 0
+        return results
+
+    # -------------------------------------------------------------- template
+    def _match_pairs(self, feats0: dict, feats1: dict) -> np.ndarray:
+        """Subclass hook: two FeaturesDicts -> (M, 2) int match indices."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------- internals
+    @staticmethod
+    def _save_raw(matches_path: Path, img0: str, img1: str, matches: np.ndarray):
+        raw_path = Path(matches_path).parent / "raw_matches.h5"
+        save_matches(raw_path, img0, img1, matches)
+
+    def _verify_and_save(
+        self,
+        matches_path: Path,
+        img0: str,
+        img1: str,
+        matches: np.ndarray,
+        kpts0: np.ndarray,
+        kpts1: np.ndarray,
+        inlier_mask: Optional[np.ndarray] = None,
+    ) -> Optional[np.ndarray]:
+        """Geometric verification + gates + matches.h5 write. If
+        ``inlier_mask`` is given (device-batched RANSAC already ran), the
+        host GV call is skipped."""
+        if len(matches) < 8:
+            logger.debug(f"Too few matches ({len(matches)}) for {img0}-{img1}")
+            return None
+        if inlier_mask is None:
+            threshold = self.gv_threshold * GV_QUALITY_SCALES[self.quality]
+            _, inlier_mask = geometric_verification(
+                kpts0=kpts0[matches[:, 0]],
+                kpts1=kpts1[matches[:, 1]],
+                method=self.gv_method,
+                threshold=threshold,
+                confidence=self.gv_confidence,
+            )
+        num_inliers = int(np.sum(inlier_mask))
+        ratio = num_inliers / max(len(matches), 1)
+        verified = matches[np.asarray(inlier_mask, bool)]
+        if num_inliers < self.min_inliers_per_pair:
+            logger.debug(f"Too few inliers ({num_inliers}) for {img0}-{img1}")
+            return None
+        if ratio < self.min_inlier_ratio_per_pair:
+            logger.debug(f"Inlier ratio too small ({ratio:.2%}) for {img0}-{img1}")
+            return None
+        save_matches(matches_path, img0, img1, verified)
+        return verified
+
+
+class BatchedMatcher(MatcherBase):
+    """Pads features to a fixed capacity and matches pairs in device batches.
+
+    Subclasses implement ``_match_batch_arrays`` over stacked padded arrays;
+    geometric verification runs either batched on device (JAX RANSAC) or
+    per-pair on host, then the standard gates + h5 writes apply.
+    """
+
+    def match_all(self, pairs, feature_path, matches_path):
+        if not pairs:
+            return {}
+        names = sorted({n for p in pairs for n in p})
+        store = _PaddedFeatureStore(feature_path, names)
+        bsz = int(self.tpu.get("match_batch_size", 32))
+        use_device_gv = bool(self.tpu.get("device_ransac", False)) and (
+            self.gv_method in (GeometricVerification.JAX_RANSAC,)
+            or self.tpu.get("force_device_ransac", False)
+        )
+        results: Dict[Tuple[str, str], int] = {}
+        for start in range(0, len(pairs), bsz):
+            chunk = pairs[start : start + bsz]
+            self._match_chunk(chunk, store, matches_path, use_device_gv, results)
+        return results
+
+    def _match_chunk(self, chunk, store, matches_path, use_device_gv, results):
+        import jax
+        import jax.numpy as jnp
+
+        B = len(chunk)
+        idx0 = [store.index[a] for a, _ in chunk]
+        idx1 = [store.index[b] for _, b in chunk]
+        batch0 = store.gather(idx0)
+        batch1 = store.gather(idx1)
+        matches0, valid = self._match_batch_arrays(batch0, batch1)
+        matches0 = np.asarray(matches0)
+        valid = np.asarray(valid)
+
+        if use_device_gv:
+            from ..ops.ransac import ransac_fundamental_batch
+
+            # matched coordinate pairs: (kpts0[i], kpts1[matches0[i]])
+            K = matches0.shape[1]
+            mk0 = batch0["keypoints"]
+            gather_idx = np.clip(matches0, 0, K - 1)
+            mk1 = np.take_along_axis(
+                batch1["keypoints"], gather_idx[..., None].repeat(2, -1), axis=1
+            )
+            threshold = self.gv_threshold * GV_QUALITY_SCALES[self.quality]
+            _, inl, _ = ransac_fundamental_batch(
+                jnp.asarray(mk0), jnp.asarray(mk1), jnp.asarray(valid),
+                jax.random.PRNGKey(0), threshold,
+                int(self.tpu.get("ransac_iters", 2048)),
+            )
+            inl = np.asarray(inl)
+        else:
+            inl = None
+
+        for b, (img0, img1) in enumerate(chunk):
+            sel = valid[b]
+            pair_matches = np.stack(
+                [np.nonzero(sel)[0], matches0[b][sel]], axis=1
+            ).astype(np.int32)
+            # map padded row indices back to the per-image feature indexing
+            n0 = store.counts[idx0[b]]
+            n1 = store.counts[idx1[b]]
+            keep = (pair_matches[:, 0] < n0) & (pair_matches[:, 1] < n1)
+            pair_matches = pair_matches[keep]
+            self._save_raw(matches_path, img0, img1, pair_matches)
+            mask = None
+            if inl is not None:
+                mask = inl[b][sel][keep]
+            verified = self._verify_and_save(
+                matches_path, img0, img1, pair_matches,
+                store.keypoints_of(idx0[b]), store.keypoints_of(idx1[b]),
+                inlier_mask=mask,
+            )
+            results[(img0, img1)] = 0 if verified is None else len(verified)
+
+    def _match_batch_arrays(
+        self, batch0: Dict[str, np.ndarray], batch1: Dict[str, np.ndarray]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Subclass hook over stacked padded arrays.
+
+        batch dicts hold ``keypoints (B,K,2)``, ``descriptors (B,K,D)``,
+        ``scores (B,K)``, ``mask (B,K)``, ``image_size (B,2)``.
+        Returns (matches0 (B,K) int32 into the second set, valid (B,K) bool).
+        """
+        raise NotImplementedError
+
+
+class _PaddedFeatureStore:
+    """All images' features in fixed-capacity padded arrays (host memory)."""
+
+    def __init__(self, feature_path, names: List[str]):
+        known = set(list_h5_names(feature_path))
+        missing = [n for n in names if n not in known]
+        if missing:
+            raise ValueError(f"Features missing for {missing[:5]}...")
+        feats = [get_features(feature_path, n) for n in names]
+        counts = [len(f["keypoints"]) for f in feats]
+        cap = _round_up(max(max(counts), 1), KPT_PAD_MULTIPLE)
+        dims = [
+            (f["descriptors"].shape[0] if f["descriptors"].shape[1] == c else f["descriptors"].shape[1])
+            for f, c in zip(feats, counts) if "descriptors" in f and c > 0
+        ]
+        D = dims[0] if dims else 0
+        n = len(names)
+        self.index = {name: i for i, name in enumerate(names)}
+        self.counts = np.array(counts, np.int32)
+        self.kpts = np.zeros((n, cap, 2), np.float32)
+        self.desc = np.zeros((n, cap, D), np.float32)
+        self.scores = np.zeros((n, cap), np.float32)
+        self.mask = np.zeros((n, cap), bool)
+        self.image_size = np.zeros((n, 2), np.int32)
+        for i, f in enumerate(feats):
+            c = counts[i]
+            self.kpts[i, :c] = f["keypoints"]
+            if "descriptors" in f and c > 0:
+                d = f["descriptors"]
+                if d.shape[0] != c:  # stored (D, N) -> (N, D)
+                    d = d.T
+                self.desc[i, :c] = d
+            if "scores" in f:
+                self.scores[i, :c] = f["scores"]
+            self.mask[i, :c] = True
+            if "image_size" in f:
+                self.image_size[i] = f["image_size"]
+
+    def gather(self, idx: List[int]) -> Dict[str, np.ndarray]:
+        idx = np.asarray(idx)
+        return {
+            "keypoints": self.kpts[idx],
+            "descriptors": self.desc[idx],
+            "scores": self.scores[idx],
+            "mask": self.mask[idx],
+            "image_size": self.image_size[idx],
+        }
+
+    def keypoints_of(self, i: int) -> np.ndarray:
+        return self.kpts[i, : self.counts[i]]
+
+
+# ---------------------------------------------------------------------------
+# Reflection loader (reference ``matchers/matcher_base.py:36-61``)
+# ---------------------------------------------------------------------------
+
+def matcher_loader(root_module, name: str):
+    import importlib
+
+    module = importlib.import_module(f"{root_module.__name__}.{name}")
+    classes = [
+        c for _, c in inspect.getmembers(module, inspect.isclass)
+        if issubclass(c, MatcherBase) and c not in (MatcherBase, BatchedMatcher)
+        and c.__module__ == module.__name__
+    ]
+    if not classes:
+        raise ImportError(f"No matcher class found in module '{name}'")
+    return classes[0]

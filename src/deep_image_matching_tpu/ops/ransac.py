@@ -1,0 +1,198 @@
+"""Batched on-device fundamental-matrix RANSAC (JAX/XLA).
+
+TPU-native replacement for the reference's host-side pydegensac / OpenCV
+USAC estimators (``utils/geometric_verification.py:104-161``): instead of a
+C++ call per pair, all hypotheses for all pairs in a batch are evaluated as
+one XLA program — hypothesis solves are batched 9x9 eigenproblems and inlier
+scoring is a dense (iters, M) Sampson-error computation that maps onto the
+MXU/VPU. Shapes are fully static: points are fixed-capacity padded with a
+validity mask.
+
+Algorithm: Hartley-normalized 8-point solves on random minimal samples,
+Sampson-distance scoring, best-hypothesis selection, then one least-squares
+refit on the winning inlier set (all under ``vmap`` over the pair batch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _normalize_points(pts: jnp.ndarray, mask: jnp.ndarray):
+    """Hartley normalization: zero-mean, mean distance sqrt(2).
+
+    pts: (M, 2), mask: (M,) bool. Returns (pts_n (M,2), T (3,3))."""
+    w = mask.astype(pts.dtype)
+    count = jnp.maximum(w.sum(), 1.0)
+    mean = (pts * w[:, None]).sum(axis=0) / count
+    centered = (pts - mean) * w[:, None]
+    dist = jnp.sqrt((centered**2).sum(axis=1))
+    mean_dist = jnp.maximum((dist * w).sum() / count, 1e-8)
+    scale = jnp.sqrt(2.0) / mean_dist
+    T = jnp.array(
+        [
+            [scale, 0.0, -scale * mean[0]],
+            [0.0, scale, -scale * mean[1]],
+            [0.0, 0.0, 1.0],
+        ],
+        dtype=pts.dtype,
+    )
+    return (pts - mean) * scale, T
+
+
+def _build_constraints(p0: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray:
+    """Epipolar constraint rows a_i s.t. a_i . f = 0 with f = vec(F).
+
+    p0, p1: (..., N, 2) normalized correspondences; returns (..., N, 9).
+    Convention: x1^T F x0 = 0."""
+    x0, y0 = p0[..., 0], p0[..., 1]
+    x1, y1 = p1[..., 0], p1[..., 1]
+    one = jnp.ones_like(x0)
+    return jnp.stack(
+        [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, one], axis=-1
+    )
+
+
+def _solve_f(A: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares epipolar solve: smallest eigenvector of A^T A, followed
+    by rank-2 projection. A: (..., N, 9) -> F: (..., 3, 3)."""
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, eigvecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
+    f = eigvecs[..., :, 0]
+    F = f.reshape(*f.shape[:-1], 3, 3)
+    # enforce rank 2 via SVD of the 3x3
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[..., 2].set(0.0)
+    F = jnp.einsum("...ij,...j,...jk->...ik", U, S, Vt)
+    return F
+
+
+def _sampson_sq(F: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray:
+    """Squared Sampson distance. F: (..., 3, 3); p0/p1: (M, 2) -> (..., M)."""
+    x0 = jnp.concatenate([p0, jnp.ones_like(p0[:, :1])], axis=-1)  # (M, 3)
+    x1 = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=-1)
+    Fx0 = jnp.einsum("...ij,mj->...mi", F, x0)      # (..., M, 3)
+    Ftx1 = jnp.einsum("...ji,mj->...mi", F, x1)     # (..., M, 3)
+    num = jnp.einsum("mi,...mi->...m", x1, Fx0) ** 2
+    den = (
+        Fx0[..., 0] ** 2 + Fx0[..., 1] ** 2 + Ftx1[..., 0] ** 2 + Ftx1[..., 1] ** 2
+    )
+    return num / jnp.maximum(den, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def ransac_fundamental(
+    kpts0: jnp.ndarray,
+    kpts1: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jax.Array,
+    threshold: float = 4.0,
+    iters: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-pair RANSAC with static shapes.
+
+    Args:
+      kpts0, kpts1: (M, 2) padded correspondences (full-resolution pixels).
+      mask: (M,) validity of each correspondence.
+      key: PRNG key.
+      threshold: inlier threshold in pixels (Sampson distance).
+      iters: number of hypotheses (static).
+
+    Returns: (F (3,3) float32, inliers (M,) bool, n_inliers ()).
+    """
+    M = kpts0.shape[0]
+    dt = jnp.float32
+    kpts0 = kpts0.astype(dt)
+    kpts1 = kpts1.astype(dt)
+    valid = mask.astype(bool)
+    n_valid = valid.sum()
+
+    p0n, T0 = _normalize_points(kpts0, valid)
+    p1n, T1 = _normalize_points(kpts1, valid)
+
+    # Sample 8 valid indices per hypothesis: gumbel-top-k over the mask gives
+    # uniform samples without replacement, entirely with static shapes.
+    g = jax.random.gumbel(key, (iters, M), dtype=dt)
+    g = jnp.where(valid[None, :], g, -jnp.inf)
+    _, sample_idx = jax.lax.top_k(g, 8)  # (iters, 8)
+
+    s0 = p0n[sample_idx]  # (iters, 8, 2)
+    s1 = p1n[sample_idx]
+    A = _build_constraints(s0, s1)  # (iters, 8, 9)
+    F_hyp = _solve_f(A)  # (iters, 3, 3)
+
+    # Score in normalized space with a normalized threshold: the Sampson
+    # distance scales ~ linearly with the normalization scale.
+    scale0 = T0[0, 0]
+    scale1 = T1[0, 0]
+    th_n = threshold * jnp.sqrt(scale0 * scale1)
+    err = _sampson_sq(F_hyp, p0n, p1n)  # (iters, M)
+    inl = (err < th_n**2) & valid[None, :]
+    scores = inl.sum(axis=1)
+    best = jnp.argmax(scores)
+    best_inl = inl[best]
+
+    # Refit on the winning inliers (weighted least squares, one step).
+    A_all = _build_constraints(p0n, p1n)  # (M, 9)
+    w = best_inl.astype(dt)[:, None]
+    F_refit = _solve_f(A_all * w)
+    err_refit = _sampson_sq(F_refit, p0n, p1n)
+    inl_refit = (err_refit < th_n**2) & valid
+    # keep the refit only if it didn't lose inliers
+    better = inl_refit.sum() >= best_inl.sum()
+    F_best = jnp.where(better, F_refit, F_hyp[best])
+    inliers = jnp.where(better, inl_refit, best_inl)
+
+    # Denormalize: F_px = T1^T F_n T0
+    F_px = T1.T @ F_best @ T0
+    F_px = F_px / jnp.where(jnp.abs(F_px[2, 2]) > 1e-12, F_px[2, 2], 1.0)
+    # Degenerate-pair guard
+    ok = n_valid >= 8
+    inliers = inliers & ok
+    return F_px, inliers, inliers.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def ransac_fundamental_batch(
+    kpts0: jnp.ndarray,  # (B, M, 2)
+    kpts1: jnp.ndarray,  # (B, M, 2)
+    mask: jnp.ndarray,   # (B, M)
+    key: jax.Array,
+    threshold: float = 4.0,
+    iters: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Verify a whole pair batch in one program (vmapped single-pair RANSAC)."""
+    B = kpts0.shape[0]
+    keys = jax.random.split(key, B)
+    return jax.vmap(
+        lambda a, b, m, k: ransac_fundamental(a, b, m, k, threshold, iters)
+    )(kpts0, kpts1, mask, keys)
+
+
+def ransac_fundamental_np(
+    kpts0: np.ndarray,
+    kpts1: np.ndarray,
+    threshold: float = 4.0,
+    iters: int = 2048,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-convenience wrapper: numpy in/out, pads to a static capacity so
+    repeated calls reuse the compiled program across match counts."""
+    m = len(kpts0)
+    cap = max(256, int(2 ** np.ceil(np.log2(max(m, 1)))))
+    p0 = np.zeros((cap, 2), np.float32)
+    p1 = np.zeros((cap, 2), np.float32)
+    msk = np.zeros((cap,), bool)
+    p0[:m] = kpts0
+    p1[:m] = kpts1
+    msk[:m] = True
+    F, inl, _ = ransac_fundamental(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(msk),
+        jax.random.PRNGKey(seed), threshold, iters,
+    )
+    return np.asarray(F), np.asarray(inl)[:m]

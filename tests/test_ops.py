@@ -1,0 +1,150 @@
+"""Numeric golden tests for device ops against naive numpy references."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from deep_image_matching_tpu.ops.nn_match import nn_match
+from deep_image_matching_tpu.ops.ransac import (
+    ransac_fundamental_batch,
+    ransac_fundamental_np,
+)
+
+
+def _naive_smnn(d0, d1, ratio):
+    """Loop-based mutual NN + ratio test."""
+    out = {}
+    dist = ((d0[:, None, :] - d1[None, :, :]) ** 2).sum(-1)
+    nn01 = dist.argmin(1)
+    nn10 = dist.argmin(0)
+    for i in range(len(d0)):
+        j = nn01[i]
+        srt = np.sort(dist[i])
+        if len(srt) > 1 and np.sqrt(srt[0]) / max(np.sqrt(srt[1]), 1e-12) > ratio:
+            continue
+        if nn10[j] == i:
+            out[i] = j
+    return out
+
+
+def test_nn_match_matches_naive():
+    rng = np.random.default_rng(0)
+    n0, n1, d = 37, 53, 16
+    d0 = rng.normal(size=(n0, d)).astype(np.float32)
+    d1 = rng.normal(size=(n1, d)).astype(np.float32)
+    # plant exact correspondences
+    d1[:20] = d0[:20] + rng.normal(scale=1e-3, size=(20, d)).astype(np.float32)
+
+    cap = 64
+    p0 = np.zeros((cap, d), np.float32)
+    p1 = np.zeros((cap, d), np.float32)
+    m0 = np.zeros(cap, bool)
+    m1 = np.zeros(cap, bool)
+    p0[:n0], p1[:n1], m0[:n0], m1[:n1] = d0, d1, True, True
+
+    matches0, valid = nn_match(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(m0), jnp.asarray(m1),
+        mode="smnn", ratio_th=0.9,
+    )
+    matches0 = np.asarray(matches0)
+    valid = np.asarray(valid)
+    got = {i: matches0[i] for i in range(n0) if valid[i]}
+    want = _naive_smnn(d0, d1, 0.9)
+    assert got == want
+    # planted correspondences must be found
+    for i in range(20):
+        assert got.get(i) == i
+    # nothing valid outside the real rows
+    assert not valid[n0:].any()
+
+
+def test_nn_match_modes():
+    rng = np.random.default_rng(1)
+    d0 = rng.normal(size=(16, 8)).astype(np.float32)
+    d1 = d0.copy()
+    cap = 16
+    m = np.ones(cap, bool)
+    for mode in ("nn", "mnn", "snn", "smnn"):
+        matches0, valid = nn_match(
+            jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(m), jnp.asarray(m),
+            mode=mode, ratio_th=0.99,
+        )
+        matches0, valid = np.asarray(matches0), np.asarray(valid)
+        assert valid.all()
+        assert (matches0 == np.arange(16)).all()
+
+
+def _synthetic_epipolar(rng, n=200, noise=0.0, outliers=0.0):
+    """Two views of random 3D points with known geometry."""
+    K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
+    R = _rot(rng.normal(scale=0.2, size=3))
+    t = np.array([1.0, 0.1, 0.05])
+    X = rng.uniform([-2, -2, 4], [2, 2, 10], size=(n, 3))
+    x0 = (K @ X.T).T
+    x0 = x0[:, :2] / x0[:, 2:]
+    X1 = (R @ X.T).T + t
+    x1 = (K @ X1.T).T
+    x1 = x1[:, :2] / x1[:, 2:]
+    if noise:
+        x0 += rng.normal(scale=noise, size=x0.shape)
+        x1 += rng.normal(scale=noise, size=x1.shape)
+    n_out = int(n * outliers)
+    if n_out:
+        idx = rng.choice(n, n_out, replace=False)
+        x1[idx] += rng.uniform(30, 120, size=(n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E = tx @ R
+    F = np.linalg.inv(K).T @ E @ np.linalg.inv(K)
+    inlier_mask = np.ones(n, bool)
+    if n_out:
+        inlier_mask[idx] = False
+    return x0.astype(np.float32), x1.astype(np.float32), F, inlier_mask
+
+
+def _rot(w):
+    theta = np.linalg.norm(w)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = w / theta
+    Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * Kx + (1 - np.cos(theta)) * Kx @ Kx
+
+
+def test_ransac_recovers_inliers():
+    rng = np.random.default_rng(2)
+    x0, x1, F_true, inliers_true = _synthetic_epipolar(
+        rng, n=300, noise=0.3, outliers=0.3
+    )
+    F, mask = ransac_fundamental_np(x0, x1, threshold=2.0, iters=1024)
+    # recall and precision on the known inlier set
+    tp = (mask & inliers_true).sum()
+    assert tp / inliers_true.sum() > 0.9
+    assert tp / max(mask.sum(), 1) > 0.9
+
+
+def test_ransac_batch_shapes():
+    rng = np.random.default_rng(3)
+    B, M = 3, 256
+    k0 = np.zeros((B, M, 2), np.float32)
+    k1 = np.zeros((B, M, 2), np.float32)
+    msk = np.zeros((B, M), bool)
+    for b in range(B):
+        x0, x1, _, _ = _synthetic_epipolar(rng, n=200, noise=0.2, outliers=0.2)
+        k0[b, :200], k1[b, :200], msk[b, :200] = x0, x1, True
+    F, inl, n_inl = ransac_fundamental_batch(
+        jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(msk),
+        jax.random.PRNGKey(0), 2.0, 512,
+    )
+    assert F.shape == (B, 3, 3)
+    assert inl.shape == (B, M)
+    assert (np.asarray(n_inl) > 100).all()
+    # padding never counted as inlier
+    assert not np.asarray(inl)[:, 200:].any()
+
+
+def test_ransac_degenerate_too_few_points():
+    x0 = np.random.rand(5, 2).astype(np.float32) * 100
+    F, mask = ransac_fundamental_np(x0, x0, threshold=2.0)
+    assert not mask.any()

@@ -1,0 +1,107 @@
+"""End-to-end slice: SIFT + NN matcher -> h5 -> COLMAP db (CPU-runnable).
+
+Mirrors the reference's integration-test style (tests/test_pipelines.py):
+run the real pipeline on the bundled 3-image set and assert artifact
+existence + database contents.
+"""
+
+import sqlite3
+
+import numpy as np
+import pytest
+
+from deep_image_matching_tpu.config import Config
+from deep_image_matching_tpu.image_matching import ImageMatcher
+from deep_image_matching_tpu.io.h5 import get_features, get_matches, list_h5_names
+from deep_image_matching_tpu.io.h5_to_db import export_to_colmap
+
+
+def _run(project_dir, **kw):
+    args = {
+        "dir": str(project_dir),
+        "pipeline": "sift+kornia_matcher",
+        "strategy": "bruteforce",
+        "skip_reconstruction": True,
+        "force": True,
+    }
+    args.update(kw)
+    cfg = Config(args=args)
+    matcher = ImageMatcher(cfg)
+    feature_path, match_path = matcher.run()
+    return cfg, feature_path, match_path
+
+
+def test_sift_pipeline_end_to_end(project_dir, image_dir):
+    cfg, feature_path, match_path = _run(project_dir)
+    assert feature_path.exists()
+    assert match_path.exists()
+
+    names = list_h5_names(feature_path)
+    assert len(names) == len(list(image_dir.iterdir()))
+    feats = get_features(feature_path, names[0])
+    assert feats["keypoints"].ndim == 2 and feats["keypoints"].shape[1] == 2
+    assert len(feats["keypoints"]) > 100
+    # descriptors stored (D, N) like the reference schema
+    assert feats["descriptors"].shape[0] == 128
+    assert feats["descriptors"].shape[1] == len(feats["keypoints"])
+
+    # at least one pair of the sacre_coeur set must verify
+    from deep_image_matching_tpu.io.h5 import list_pairs
+
+    pairs = list_pairs(match_path)
+    assert len(pairs) >= 1
+    m = get_matches(match_path, *pairs[0])
+    assert m.shape[1] == 2
+    assert len(m) >= 15
+
+    # COLMAP export
+    db_path = cfg.output_dir / "database.db"
+    export_to_colmap(image_dir, feature_path, match_path, db_path)
+    con = sqlite3.connect(db_path)
+    n_images = con.execute("SELECT COUNT(*) FROM images").fetchone()[0]
+    n_kpt = con.execute("SELECT COUNT(*) FROM keypoints").fetchone()[0]
+    n_tvg = con.execute(
+        "SELECT COUNT(*) FROM two_view_geometries WHERE rows >= 15"
+    ).fetchone()[0]
+    n_cam = con.execute("SELECT COUNT(*) FROM cameras").fetchone()[0]
+    con.close()
+    assert n_images == len(names)
+    assert n_kpt == len(names)
+    assert n_tvg >= 1
+    assert n_cam >= 1
+
+    # pairs.txt written
+    assert (cfg.output_dir / "pairs.txt").exists()
+    # config snapshot
+    cfg.save()
+    assert (cfg.output_dir / "config.json").exists()
+
+
+def test_sift_pipeline_sequential(project_dir):
+    cfg, feature_path, match_path = _run(project_dir, strategy="sequential", overlap=1)
+    pairs_file = cfg.output_dir / "pairs.txt"
+    lines = pairs_file.read_text().strip().splitlines()
+    n = len(list_h5_names(feature_path))
+    assert len(lines) == n - 1
+
+
+def test_sift_pipeline_quality_low(project_dir, image_dir):
+    cfg, feature_path, _ = _run(project_dir, quality="low")
+    names = list_h5_names(feature_path)
+    feats = get_features(feature_path, names[0])
+    # keypoints must be rescaled back to full-resolution coordinates
+    import cv2
+
+    img = cv2.imread(str(image_dir / names[0]))
+    h, w = img.shape[:2]
+    kpts = feats["keypoints"]
+    assert kpts[:, 0].max() > w * 0.3
+    assert kpts[:, 0].max() <= w + 1
+    assert kpts[:, 1].max() <= h + 1
+
+
+def test_orb_pipeline(project_dir):
+    cfg, feature_path, match_path = _run(project_dir, pipeline="orb+kornia_matcher")
+    assert feature_path.exists()
+    names = list_h5_names(feature_path)
+    assert len(names) >= 3
