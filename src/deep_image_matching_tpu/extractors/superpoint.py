@@ -1,0 +1,91 @@
+"""SuperPoint extractor wrapper (JAX, batched on device).
+
+Parity: reference ``extractors/superpoint.py:64-146`` (nms_radius,
+keypoint_threshold, max_keypoints config surface). Unlike the reference's
+batch-size-1 per-image loop (``extractor_base.py:162-251``), whole image
+batches are padded and extracted in one fused jitted program
+(``models/superpoint.py``).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..constants import Quality, TileSelection, get_size_by_quality
+from ..io.h5 import save_features
+from ..models.superpoint import SuperPointRunner, load_default_params
+from ..utils.image import Image, read_image, resize_image
+from .extractor_base import ExtractorBase, FeaturesDict
+
+
+class SuperPointExtractor(ExtractorBase):
+    default_conf = {
+        "nms_radius": 4,
+        "keypoint_threshold": 0.0005,
+        "max_keypoints": 2048,
+        "remove_borders": 4,
+    }
+    grayscale = True
+    as_float = True
+    descriptor_size = 256
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        self._runner = SuperPointRunner(
+            params=load_default_params(),
+            max_keypoints=int(self.conf["max_keypoints"]),
+            nms_radius=int(self.conf["nms_radius"]),
+            keypoint_threshold=float(self.conf["keypoint_threshold"]),
+            remove_borders=int(self.conf.get("remove_borders", 4)),
+            batch_size=int(self.config.get("general", {}).get("tpu", {}).get(
+                "extract_batch_size", 8
+            )),
+        )
+
+    def extract_batch(self, images: List[Image], feature_path) -> None:
+        if self.tile_selection is not TileSelection.NONE:
+            # tiled path goes through the per-image template (tiles batched
+            # inside _extract_by_tile via the runner)
+            return super().extract_batch(images, feature_path)
+        prepped = []
+        for img in images:
+            arr = read_image(img.path, grayscale=True).astype(np.float32) / 255.0
+            h, w = arr.shape
+            if self.quality is not Quality.HIGH:
+                nw, nh = get_size_by_quality(self.quality, (w, h))
+                arr = resize_image(arr, (max(nw, 1), max(nh, 1)))
+            # scale factors back to full res handled via orig size below
+            prepped.append((arr, arr.shape[0] / h, (w, h)))
+        # runner rescales keypoints by 1/scale; our scale is isotropic only
+        # when quality resize preserves aspect (it does: both dims scaled by
+        # the same quality factor modulo rounding). Use exact per-axis
+        # rescale instead for safety:
+        results = self._runner.extract_arrays(
+            [(arr, 1.0, orig) for arr, _, orig in prepped]
+        )
+        for img, (arr, _, (w, h)), feats in zip(images, prepped, results):
+            ah, aw = arr.shape
+            sx, sy = w / aw, h / ah
+            kpts = feats["keypoints"] * np.array([sx, sy], np.float32)
+            save_features(
+                feature_path,
+                img.name,
+                keypoints=kpts,
+                descriptors=feats["descriptors"],
+                scores=feats["scores"],
+                image_size=np.array([w, h], np.int64),
+            )
+
+    def _extract(self, image: np.ndarray) -> FeaturesDict:
+        """Single image/tile path (used by the tiling template)."""
+        if image.ndim == 3:
+            image = image.mean(axis=-1)
+        h, w = image.shape
+        feats = self._runner.extract_arrays([(image.astype(np.float32), 1.0, (w, h))])[0]
+        return {
+            "keypoints": feats["keypoints"],
+            "descriptors": feats["descriptors"],
+            "scores": feats["scores"],
+        }

@@ -44,6 +44,9 @@ class ImageMatcher:
             "extractor": config.extractor,
             "matcher": config.matcher,
         }
+        # LightGlue-family matchers pick weight sets by feature type
+        if "features" not in config.matcher:
+            cfg_dict["matcher"]["features"] = config.extractor["name"]
         extractor_cls = extractor_loader(extractors_pkg, config.extractor["name"])
         matcher_cls = matcher_loader(matchers_pkg, config.matcher["name"])
         self.extractor = extractor_cls(cfg_dict)

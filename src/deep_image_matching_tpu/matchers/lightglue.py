@@ -1,0 +1,76 @@
+"""LightGlue matcher wrapper (JAX, batched on device).
+
+Parity: reference ``matchers/lightglue.py:77-125`` config surface
+(n_layers, depth_confidence, width_confidence, filter_threshold, flash, mp).
+The per-pair torch forward becomes one jitted program per pair batch
+(``models/lightglue.py``); ``depth_confidence``/``width_confidence`` are
+accepted for config compatibility — adaptive depth maps to compiled shallow
+variants, width pruning is a no-op on TPU (see model docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.lightglue import LightGlueRunner, forward, load_default_params
+from .matcher_base import BatchedMatcher
+
+
+class LightGlueMatcher(BatchedMatcher):
+    default_conf = {
+        "n_layers": 9,
+        "mp": False,
+        "flash": True,
+        "depth_confidence": 0.95,
+        "width_confidence": 0.99,
+        "filter_threshold": 0.1,
+        "features": "superpoint",
+    }
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        self.n_layers = int(self.conf.get("n_layers", 9))
+        self.filter_threshold = float(self.conf.get("filter_threshold", 0.1))
+        self.params = load_default_params(
+            str(self.conf.get("features", "superpoint")), self.n_layers
+        )
+
+    def _match_batch_arrays(
+        self, batch0: Dict[str, np.ndarray], batch1: Dict[str, np.ndarray]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        out = forward(
+            self.params,
+            jnp.asarray(batch0["keypoints"]), jnp.asarray(batch1["keypoints"]),
+            jnp.asarray(batch0["descriptors"]), jnp.asarray(batch1["descriptors"]),
+            jnp.asarray(batch0["mask"]), jnp.asarray(batch1["mask"]),
+            jnp.asarray(batch0["image_size"], dtype=jnp.float32),
+            jnp.asarray(batch1["image_size"], dtype=jnp.float32),
+            filter_threshold=self.filter_threshold,
+            compute_dtype=str(self.tpu.get("dtype", "bfloat16")),
+        )
+        matches0 = np.asarray(out["matches0"])
+        valid = np.asarray(out["valid0"])
+        return matches0, valid
+
+    def _match_pairs(self, feats0: dict, feats1: dict) -> np.ndarray:
+        runner = LightGlueRunner(
+            params=self.params, filter_threshold=self.filter_threshold
+        )
+        f0 = _to_rows(feats0)
+        f1 = _to_rows(feats1)
+        return runner.match_pairs([f0, f1], [(0, 1)])[0]
+
+
+def _to_rows(feats: dict) -> dict:
+    d = np.asarray(feats["descriptors"], np.float32)
+    n = len(feats["keypoints"])
+    if d.ndim == 2 and d.shape[0] != n:
+        d = d.T
+    return {
+        "keypoints": np.asarray(feats["keypoints"], np.float32),
+        "descriptors": d,
+        "image_size": np.asarray(feats.get("image_size", (0, 0)), np.float32),
+    }

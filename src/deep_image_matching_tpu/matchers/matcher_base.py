@@ -178,14 +178,24 @@ class BatchedMatcher(MatcherBase):
         import jax
         import jax.numpy as jnp
 
+        from ..parallel.mesh import get_default_mesh
+
         B = len(chunk)
         idx0 = [store.index[a] for a, _ in chunk]
         idx1 = [store.index[b] for _, b in chunk]
         batch0 = store.gather(idx0)
         batch1 = store.gather(idx1)
-        matches0, valid = self._match_batch_arrays(batch0, batch1)
-        matches0 = np.asarray(matches0)
-        valid = np.asarray(valid)
+        # data-parallel over the device mesh: pad to a divisible batch and
+        # shard the batch axis; XLA partitions the matching program
+        mesh = get_default_mesh()
+        if mesh.n_devices > 1:
+            in0 = mesh.shard_batch(mesh.pad_batch(batch0))
+            in1 = mesh.shard_batch(mesh.pad_batch(batch1))
+        else:
+            in0, in1 = batch0, batch1
+        matches0, valid = self._match_batch_arrays(in0, in1)
+        matches0 = np.asarray(matches0)[:B]
+        valid = np.asarray(valid)[:B]
 
         if use_device_gv:
             from ..ops.ransac import ransac_fundamental_batch

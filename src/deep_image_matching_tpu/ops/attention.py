@@ -1,0 +1,104 @@
+"""Fused attention for the matching transformers.
+
+The naive masked-softmax attention materializes a (B, H, K, K) f32 score
+tensor per block — at the benchmark operating point (B=32, K=2048) that is
+~2 GB of HBM traffic per attention, which makes LightGlue HBM-bound (~9% MXU
+utilization measured). ``fused_attention`` dispatches to the Pallas TPU
+flash-attention kernel (tiled online-softmax, scores never leave VMEM);
+padding is expressed as segment ids. The XLA fallback keeps CPU tests and
+non-TPU backends working with identical semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_mod():
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    return fa
+
+
+def _block_sizes(fa, q_len: int, kv_len: int):
+    bq = min(512, q_len)
+    bkv = min(512, kv_len)
+    return fa.BlockSizes(
+        block_q=bq,
+        block_k_major=bkv,
+        block_k=bkv,
+        block_b=1,
+        block_q_major_dkv=bq,
+        block_k_major_dkv=bkv,
+        block_k_dkv=bkv,
+        block_q_dkv=bq,
+        block_k_major_dq=bkv,
+        block_k_dq=bkv,
+        block_q_dq=bq,
+    )
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    sm_scale: float,
+) -> jnp.ndarray:
+    """Reference path: (B, H, Tq, d) x (B, H, Tk, d) masked softmax attention
+    with f32 accumulation."""
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+    sim = sim * sm_scale
+    if key_mask is not None:
+        sim = jnp.where(key_mask[:, None, None, :], sim, -1e30)
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_mask: Optional[jnp.ndarray],
+    kv_mask: Optional[jnp.ndarray],
+    sm_scale: float,
+    impl: str = "flash",
+) -> jnp.ndarray:
+    """(B, H, Tq, d) attention with padding masks.
+
+    impl='flash': Pallas TPU kernel (segment-id masking — valid tokens are
+    segment 1, padding segment 0, so padded keys never contribute to valid
+    queries). impl='xla': dense fallback.
+    """
+    if impl != "flash":
+        return xla_attention(q, k, v, kv_mask, sm_scale)
+    fa = _flash_mod()
+    seg = None
+    if q_mask is not None or kv_mask is not None:
+        B, _, Tq, _ = q.shape
+        Tk = k.shape[2]
+        q_seg = (
+            q_mask.astype(jnp.int32)
+            if q_mask is not None
+            else jnp.ones((B, Tq), jnp.int32)
+        )
+        kv_seg = (
+            kv_mask.astype(jnp.int32)
+            if kv_mask is not None
+            else jnp.ones((B, Tk), jnp.int32)
+        )
+        seg = fa.SegmentIds(q=q_seg, kv=kv_seg)
+    out = fa.flash_attention(
+        q, k, v,
+        segment_ids=seg,
+        causal=False,
+        sm_scale=sm_scale,
+        block_sizes=_block_sizes(fa, q.shape[2], k.shape[2]),
+    )
+    return out.astype(v.dtype)

@@ -1,0 +1,138 @@
+"""Keypoint detection ops: NMS, masked top-k selection, descriptor sampling.
+
+TPU-native replacements for the reference's per-image torch detection code
+(``thirdparty/SuperGluePretrainedNetwork/models/superpoint.py:47-99``):
+- ``simple_nms``: iterated max-pool suppression as ``lax.reduce_window`` —
+  XLA fuses the window reductions; no Pallas needed (VPU-bound, fusable).
+- ``select_topk``: threshold + border mask + ``lax.top_k`` over the flattened
+  score map, returning fixed-capacity (K,) indices + validity mask (the
+  static-shape replacement for ``torch.nonzero``'s dynamic shapes).
+- ``sample_descriptors``: bilinear interpolation of the dense descriptor map
+  at keypoint locations, matching ``grid_sample(align_corners=True)``
+  semantics exactly (for pretrained-weight parity), as vectorized gathers.
+
+All functions are batch-first and jit/vmap/shard_map friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def max_pool_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(B, H, W) max pool with kernel 2r+1, stride 1, SAME padding."""
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, k), window_strides=(1, 1, 1), padding="SAME",
+    )
+
+
+def simple_nms(scores: jnp.ndarray, nms_radius: int, iters: int = 2) -> jnp.ndarray:
+    """Fast NMS: keep local maxima, iteratively recovering secondary maxima
+    outside suppressed neighborhoods (exact port of the reference algorithm,
+    expressed with XLA window reductions). scores: (B, H, W)."""
+    if nms_radius < 0:
+        raise ValueError("nms_radius must be >= 0")
+    if nms_radius == 0:
+        return scores
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == max_pool_same(scores, nms_radius)
+    for _ in range(iters):
+        supp_mask = max_pool_same(max_mask.astype(scores.dtype), nms_radius) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max_mask = supp_scores == max_pool_same(supp_scores, nms_radius)
+        max_mask = max_mask | (new_max_mask & (~supp_mask))
+    return jnp.where(max_mask, scores, zeros)
+
+
+def select_topk(
+    scores: jnp.ndarray,
+    k: int,
+    threshold: float = 0.0,
+    border: int = 0,
+    valid_hw: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-k keypoints from a (B, H, W) score map with static shapes.
+
+    Invalid positions (below threshold, inside the border margin, or outside
+    ``valid_hw`` — the unpadded image extent per batch element) are masked
+    out; the output is always (B, k).
+
+    Returns:
+      kpts: (B, k, 2) float32 (x, y) pixel coordinates.
+      kscores: (B, k) the NMS'd scores.
+      valid: (B, k) bool.
+    """
+    B, H, W = scores.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    if valid_hw is not None:
+        vh, vw = valid_hw  # (B,), (B,)
+        h_hi = vh[:, None, None] - border
+        w_hi = vw[:, None, None] - border
+    else:
+        h_hi = H - border
+        w_hi = W - border
+    ok = (
+        (ys[None] >= border) & (ys[None] < h_hi)
+        & (xs[None] >= border) & (xs[None] < w_hi)
+        & (scores > threshold)
+    )
+    masked = jnp.where(ok, scores, -1.0)
+    flat = masked.reshape(B, H * W)
+    top_vals, top_idx = jax.lax.top_k(flat, k)
+    valid = top_vals > 0.0  # masked positions carry -1; real scores are > threshold >= 0
+    y = (top_idx // W).astype(jnp.float32)
+    x = (top_idx % W).astype(jnp.float32)
+    kpts = jnp.stack([x, y], axis=-1)
+    kpts = jnp.where(valid[..., None], kpts, 0.0)
+    kscores = jnp.where(valid, top_vals, 0.0)
+    return kpts, kscores, valid
+
+
+def bilinear_sample(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample (H, W, C) at float (K, 2) (x, y) positions, clipping to edges
+    (grid_sample align_corners=True over in-range coords)."""
+    H, W, _ = fmap.shape
+    x = jnp.clip(coords[:, 0], 0.0, W - 1.0)
+    y = jnp.clip(coords[:, 1], 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = jnp.minimum(x0 + 1, W - 1.0)
+    y1 = jnp.minimum(y0 + 1, H - 1.0)
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    v00 = fmap[y0i, x0i]
+    v01 = fmap[y0i, x1i]
+    v10 = fmap[y1i, x0i]
+    v11 = fmap[y1i, x1i]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def sample_descriptors_sp(
+    kpts: jnp.ndarray, desc_map: jnp.ndarray, s: int = 8
+) -> jnp.ndarray:
+    """SuperPoint descriptor sampling: keypoints in full-res pixels, desc_map
+    (Hc, Wc, C) at stride ``s``. Uses the reference's exact normalization
+    (``superpoint.py:81-99``) so ported pretrained weights reproduce the same
+    descriptors; output is L2-normalized. kpts: (K, 2) -> (K, C)."""
+    Hc, Wc, _ = desc_map.shape
+    kp = kpts - s / 2 + 0.5
+    denom = jnp.array([Wc * s - s / 2 - 0.5, Hc * s - s / 2 - 0.5], jnp.float32)
+    grid = kp / denom * 2.0 - 1.0  # (-1, 1)
+    # align_corners=True: pixel index = (g + 1) / 2 * (size - 1)
+    coords = (grid + 1.0) / 2.0 * jnp.array([Wc - 1, Hc - 1], jnp.float32)
+    desc = bilinear_sample(desc_map, coords)
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    return desc / jnp.maximum(norm, 1e-12)
