@@ -15,7 +15,12 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.lightglue import LightGlueRunner, forward, load_default_params
+from ..models.lightglue import (
+    LightGlueRunner,
+    default_attn_impl,
+    forward,
+    load_default_params,
+)
 from .matcher_base import BatchedMatcher
 
 
@@ -50,6 +55,7 @@ class LightGlueMatcher(BatchedMatcher):
             jnp.asarray(batch1["image_size"], dtype=jnp.float32),
             filter_threshold=self.filter_threshold,
             compute_dtype=str(self.tpu.get("dtype", "bfloat16")),
+            attn_impl=self.tpu.get("attn_impl", default_attn_impl()),
         )
         matches0 = np.asarray(out["matches0"])
         valid = np.asarray(out["valid0"])

@@ -25,9 +25,18 @@ def _flash_mod():
     return fa
 
 
+def _pick_block(n: int) -> int:
+    """Largest of {512, 256, 128} dividing n (capacities are multiples of
+    128); falls back to n for short sequences."""
+    for b in (512, 256, 128):
+        if n % b == 0 and n >= b:
+            return b
+    return n
+
+
 def _block_sizes(fa, q_len: int, kv_len: int):
-    bq = min(512, q_len)
-    bkv = min(512, kv_len)
+    bq = _pick_block(q_len)
+    bkv = _pick_block(kv_len)
     return fa.BlockSizes(
         block_q=bq,
         block_k_major=bkv,
