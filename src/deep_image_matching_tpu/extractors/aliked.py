@@ -1,0 +1,147 @@
+"""ALIKED extractor wrapper (JAX, batched on device, pretrained weights).
+
+Parity: reference ``extractors/aliked.py:10-89`` (model_name,
+max_num_keypoints, detection_threshold, nms_radius config surface).
+Checkpoints are the reference's bundled ALIKED weights (same state_dict
+layout as github.com/Shiaoming/ALIKED); converted via
+``models/aliked.params_from_torch``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..constants import Quality, TileSelection, get_size_by_quality
+from ..io.h5 import save_features
+from ..models import aliked as aliked_model
+from ..utils.image import Image, read_image, resize_image
+from .extractor_base import ExtractorBase, FeaturesDict
+
+logger = logging.getLogger("dim_tpu")
+
+_WEIGHT_CANDIDATES = [
+    "{wdir}/{name}.pth",
+    str(Path.home() / ".cache/dim_tpu/{name}.pth"),
+    "/root/reference/src/deep_image_matching/thirdparty/ALIKED/models/{name}.pth",
+]
+
+_PARAM_CACHE: Dict[str, dict] = {}
+
+
+def load_params(model_name: str) -> dict:
+    if model_name in _PARAM_CACHE:
+        return _PARAM_CACHE[model_name]
+    wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR", "")
+    for tmpl in _WEIGHT_CANDIDATES:
+        cand = Path(tmpl.format(wdir=wdir, name=model_name))
+        if wdir == "" and "{wdir}" in tmpl:
+            continue
+        if cand.exists():
+            import torch
+
+            sd = torch.load(str(cand), map_location="cpu")
+            params = aliked_model.params_from_torch(sd, model_name)
+            logger.info(f"Loaded ALIKED weights from {cand}")
+            _PARAM_CACHE[model_name] = params
+            return params
+    raise FileNotFoundError(
+        f"No ALIKED checkpoint '{model_name}.pth' found "
+        "(set DIM_TPU_WEIGHTS_DIR)"
+    )
+
+
+class ALIKEDExtractor(ExtractorBase):
+    default_conf = {
+        "model_name": "aliked-n16rot",
+        "max_num_keypoints": 4000,
+        "detection_threshold": 0.2,
+        "nms_radius": 3,
+    }
+    grayscale = False
+    as_float = True
+    descriptor_size = 128
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        self.model_name = str(self.conf["model_name"])
+        self.params = load_params(self.model_name)
+        self.max_keypoints = int(self.conf.get("max_num_keypoints", 4000))
+        self.detection_threshold = float(self.conf.get("detection_threshold", 0.2))
+        self.nms_radius = int(self.conf.get("nms_radius", 3))
+        self.batch_size = int(
+            self.config.get("general", {}).get("tpu", {}).get("extract_batch_size", 4)
+        )
+
+    def extract_batch(self, images: List[Image], feature_path) -> None:
+        if self.tile_selection is not TileSelection.NONE:
+            return super().extract_batch(images, feature_path)
+        prepped = []
+        for img in images:
+            arr = read_image(img.path, grayscale=False).astype(np.float32) / 255.0
+            h, w = arr.shape[:2]
+            if self.quality is not Quality.HIGH:
+                nw, nh = get_size_by_quality(self.quality, (w, h))
+                arr = resize_image(arr, (max(nw, 1), max(nh, 1)))
+            prepped.append((arr, (w, h)))
+        results = self._run(prepped)
+        for img, (arr, (w, h)), feats in zip(images, prepped, results):
+            ah, aw = arr.shape[:2]
+            kpts = feats["keypoints"] * np.array([w / aw, h / ah], np.float32)
+            save_features(
+                feature_path, img.name,
+                keypoints=kpts,
+                descriptors=feats["descriptors"],
+                scores=feats["scores"],
+                image_size=np.array([w, h], np.int64),
+            )
+
+    def _run(self, prepped) -> list:
+        import jax.numpy as jnp
+
+        pad_to = 32
+        buckets: Dict[tuple, list] = {}
+        for i, (arr, _) in enumerate(prepped):
+            h, w = arr.shape[:2]
+            key = (-(-h // pad_to) * pad_to, -(-w // pad_to) * pad_to)
+            buckets.setdefault(key, []).append(i)
+        results = [None] * len(prepped)
+        for (ph, pw), idxs in buckets.items():
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start : start + self.batch_size]
+                batch = np.zeros((len(chunk), ph, pw, 3), np.float32)
+                vhw = np.zeros((len(chunk), 2), np.int32)
+                for j, i in enumerate(chunk):
+                    arr = prepped[i][0]
+                    h, w = arr.shape[:2]
+                    if arr.ndim == 2:
+                        arr = np.repeat(arr[..., None], 3, axis=-1)
+                    batch[j, :h, :w] = arr
+                    vhw[j] = (h, w)
+                out = aliked_model.extract(
+                    self.params, jnp.asarray(batch), jnp.asarray(vhw),
+                    max_keypoints=self.max_keypoints,
+                    detection_threshold=self.detection_threshold,
+                    nms_radius=self.nms_radius,
+                    model_name=self.model_name,
+                )
+                out = {k: np.asarray(v) for k, v in out.items()}
+                for j, i in enumerate(chunk):
+                    m = out["mask"][j]
+                    results[i] = {
+                        "keypoints": out["keypoints"][j][m],
+                        "scores": out["scores"][j][m],
+                        "descriptors": out["descriptors"][j][m],
+                    }
+        return results
+
+    def _extract(self, image: np.ndarray) -> FeaturesDict:
+        if image.ndim == 2:
+            image = np.repeat(image[..., None], 3, axis=-1)
+        h, w = image.shape[:2]
+        feats = self._run([(image.astype(np.float32), (w, h))])[0]
+        return feats

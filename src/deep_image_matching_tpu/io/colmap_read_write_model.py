@@ -96,11 +96,16 @@ def read_cameras_text(path) -> Dict[int, Camera]:
 
 def read_images_text(path) -> Dict[int, Image]:
     images = {}
+    # keep empty lines: an image with zero points has an empty second line
     lines = [
         l.strip() for l in Path(path).read_text().splitlines()
-        if l.strip() and not l.startswith("#")
+        if not l.startswith("#")
     ]
-    for i in range(0, len(lines), 2):
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
         elems = lines[i].split()
         image_id = int(elems[0])
         qvec = np.array(list(map(float, elems[1:5])))
@@ -108,6 +113,7 @@ def read_images_text(path) -> Dict[int, Image]:
         camera_id = int(elems[8])
         name = elems[9]
         pts = lines[i + 1].split() if i + 1 < len(lines) else []
+        i += 2
         xys = np.array(
             [list(map(float, pts[j : j + 2])) for j in range(0, len(pts), 3)]
         ).reshape(-1, 2)
