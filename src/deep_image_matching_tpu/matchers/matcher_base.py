@@ -163,6 +163,13 @@ class BatchedMatcher(MatcherBase):
             return {}
         names = sorted({n for p in pairs for n in p})
         store = _PaddedFeatureStore(feature_path, names)
+        from ..constants import TileSelection
+
+        tile_mode = self.config.get("general", {}).get(
+            "tile_selection", TileSelection.NONE
+        )
+        if tile_mode is not TileSelection.NONE and store.has_tiles:
+            return self._match_all_tiled(pairs, store, matches_path, tile_mode)
         bsz = int(self.tpu.get("match_batch_size", 32))
         use_device_gv = bool(self.tpu.get("device_ransac", False)) and (
             self.gv_method in (GeometricVerification.JAX_RANSAC,)
@@ -249,6 +256,110 @@ class BatchedMatcher(MatcherBase):
         """
         raise NotImplementedError
 
+    # ---------------------------------------------------------------- tiled
+    def _match_all_tiled(self, pairs, store, matches_path, tile_mode):
+        """Tiled matching: expand each pair into tile-pair jobs whose masks
+        restrict the padded feature sets to one tile each; indices stay
+        global, so results union + dedup directly (matchers/tiling.py)."""
+        from ..constants import TileSelection
+        from .tiling import LowResProbe, select_tile_pairs, tile_grid_for
+
+        general = self.config.get("general", {})
+        tile_size = general.get("tile_size", (2400, 2000))
+        overlap = general.get("tile_overlap", 10)
+        min_per_tile = int(general.get("min_matches_per_tile", 10))
+        image_dir = general.get("image_dir")
+
+        probe = None
+        if tile_mode in (
+            TileSelection.PRESELECTION,
+            TileSelection.PRESELECTION_AFFINE_TRANSFORM,
+        ):
+            probe = LowResProbe(
+                preselection_size=int(general.get("tile_preselection_size", 2000))
+            )
+
+        # tile grids per image (origins recomputed from size + config)
+        grids = {}
+        for name, i in store.index.items():
+            wh = store.image_size[i]
+            origins, tile_wh = tile_grid_for(wh, tile_size, overlap)
+            grids[name] = (origins, tile_wh)
+
+        jobs = []  # (pair_idx, i0, i1, t0, t1)
+        for p_idx, (name0, name1) in enumerate(pairs):
+            i0, i1 = store.index[name0], store.index[name1]
+            o0, twh0 = grids[name0]
+            o1, twh1 = grids[name1]
+            lp0 = lp1 = None
+            if probe is not None and image_dir is not None:
+                try:
+                    lp0, lp1 = probe.matches(
+                        Path(image_dir) / name0, Path(image_dir) / name1
+                    )
+                except Exception as e:
+                    logger.warning(f"Tile preselection probe failed: {e}")
+            tile_pairs = select_tile_pairs(
+                tile_mode, len(o0), len(o1),
+                lowres_pts0=lp0, lowres_pts1=lp1,
+                origins0=o0, origins1=o1, tile_wh0=twh0, tile_wh1=twh1,
+                min_matches=min_per_tile,
+            )
+            for t0, t1 in tile_pairs:
+                jobs.append((p_idx, i0, i1, t0, t1))
+        logger.info(
+            f"Tiled matching: {len(pairs)} pairs -> {len(jobs)} tile-pair jobs"
+        )
+
+        bsz = int(self.tpu.get("match_batch_size", 32))
+        per_pair: Dict[int, list] = {i: [] for i in range(len(pairs))}
+        for start in range(0, len(jobs), bsz):
+            chunk = jobs[start : start + bsz]
+            batch0 = store.gather([j[1] for j in chunk])
+            batch1 = store.gather([j[2] for j in chunk])
+            t0s = np.array([j[3] for j in chunk], np.float32)
+            t1s = np.array([j[4] for j in chunk], np.float32)
+            batch0 = dict(batch0)
+            batch1 = dict(batch1)
+            batch0["mask"] = batch0["mask"] & (
+                store.tile_idx[[j[1] for j in chunk]] == t0s[:, None]
+            )
+            batch1["mask"] = batch1["mask"] & (
+                store.tile_idx[[j[2] for j in chunk]] == t1s[:, None]
+            )
+            matches0, valid = self._match_batch_arrays(batch0, batch1)
+            matches0 = np.asarray(matches0)
+            valid = np.asarray(valid)
+            for b, (p_idx, i0, i1, _t0, _t1) in enumerate(chunk):
+                sel = valid[b]
+                rows = np.nonzero(sel)[0]
+                if len(rows):
+                    per_pair[p_idx].append(
+                        np.stack([rows, matches0[b][rows]], axis=1)
+                    )
+
+        results: Dict[Tuple[str, str], int] = {}
+        for p_idx, (name0, name1) in enumerate(pairs):
+            chunks = per_pair[p_idx]
+            if chunks:
+                m = np.concatenate(chunks, axis=0).astype(np.int32)
+                # dedup: one match per query keypoint (keep first)
+                _, first = np.unique(m[:, 0], return_index=True)
+                m = m[np.sort(first)]
+                n0 = store.counts[store.index[name0]]
+                n1 = store.counts[store.index[name1]]
+                m = m[(m[:, 0] < n0) & (m[:, 1] < n1)]
+            else:
+                m = np.zeros((0, 2), np.int32)
+            self._save_raw(matches_path, name0, name1, m)
+            verified = self._verify_and_save(
+                matches_path, name0, name1, m,
+                store.keypoints_of(store.index[name0]),
+                store.keypoints_of(store.index[name1]),
+            )
+            results[(name0, name1)] = 0 if verified is None else len(verified)
+        return results
+
 
 class _PaddedFeatureStore:
     """All images' features in fixed-capacity padded arrays (host memory)."""
@@ -274,6 +385,8 @@ class _PaddedFeatureStore:
         self.scores = np.zeros((n, cap), np.float32)
         self.mask = np.zeros((n, cap), bool)
         self.image_size = np.zeros((n, 2), np.int32)
+        self.tile_idx = np.full((n, cap), -1.0, np.float32)
+        self.has_tiles = False
         for i, f in enumerate(feats):
             c = counts[i]
             self.kpts[i, :c] = f["keypoints"]
@@ -284,6 +397,9 @@ class _PaddedFeatureStore:
                 self.desc[i, :c] = d
             if "scores" in f:
                 self.scores[i, :c] = f["scores"]
+            if "tile_idx" in f and c > 0:
+                self.tile_idx[i, :c] = f["tile_idx"]
+                self.has_tiles = True
             self.mask[i, :c] = True
             if "image_size" in f:
                 self.image_size[i] = f["image_size"]

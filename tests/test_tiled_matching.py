@@ -1,0 +1,65 @@
+"""Tiled extraction + tiled matching end-to-end (grid and exhaustive)."""
+
+import numpy as np
+import pytest
+
+from deep_image_matching_tpu.config import Config
+from deep_image_matching_tpu.image_matching import ImageMatcher
+from deep_image_matching_tpu.io.h5 import get_features, get_matches, list_pairs
+
+
+def test_tile_pair_selection_math():
+    from deep_image_matching_tpu.constants import TileSelection
+    from deep_image_matching_tpu.matchers.tiling import (
+        points_in_tiles, select_tile_pairs, tile_grid_for,
+    )
+
+    origins, twh = tile_grid_for((200, 100), (100, 50), 0)
+    assert len(origins) == 4
+    pts = np.array([[10.0, 10.0], [150.0, 80.0]], np.float32)
+    inm = points_in_tiles(pts, origins, twh)
+    assert inm[0, 0] and not inm[0, 3]
+    assert inm[1, 3] and not inm[1, 0]
+
+    assert select_tile_pairs(TileSelection.GRID, 4, 4) == [(t, t) for t in range(4)]
+    assert len(select_tile_pairs(TileSelection.EXHAUSTIVE, 2, 3)) == 6
+    # preselection: matches concentrated in tile (0, 3)
+    lp0 = np.tile(pts[0], (12, 1))
+    lp1 = np.tile(pts[1], (12, 1))
+    sel = select_tile_pairs(
+        TileSelection.PRESELECTION, 4, 4,
+        lowres_pts0=lp0, lowres_pts1=lp1,
+        origins0=origins, origins1=origins, tile_wh0=twh, tile_wh1=twh,
+        min_matches=10,
+    )
+    assert sel == [(0, 3)]
+
+
+def test_tiled_sift_pipeline(project_dir, image_dir):
+    """SIFT with grid tiling: features carry tile_idx; tiled matching
+    produces verified pairs equivalent to untiled on the same data."""
+    args = {
+        "dir": str(project_dir),
+        "pipeline": "sift+kornia_matcher",
+        "strategy": "bruteforce",
+        "tiling": "grid",
+        "skip_reconstruction": True,
+        "force": True,
+    }
+    cfg = Config(args=args)
+    cfg.general["tile_size"] = (400, 300)
+    cfg.general["tile_overlap"] = 20
+    matcher = ImageMatcher(cfg)
+    feature_path, match_path = matcher.run()
+
+    names = sorted({n for p in matcher.pairs for n in p})
+    feats = get_features(feature_path, names[0])
+    assert "tile_idx" in feats
+    assert feats["tile_idx"].max() >= 1  # multiple tiles used
+
+    pairs = list_pairs(match_path)
+    assert len(pairs) >= 1
+    m = get_matches(match_path, *pairs[0])
+    assert len(m) >= 15
+    # no duplicate query indices after dedup
+    assert len(np.unique(m[:, 0])) == len(m)
