@@ -418,6 +418,88 @@ class _PaddedFeatureStore:
         return self.kpts[i, : self.counts[i]]
 
 
+class DetectorFreeMatcher(MatcherBase):
+    """Detector-free matchers (LoFTR family): matching consumes image pairs
+    and *produces* keypoints, which are appended per pair into features.h5
+    with index offsetting (reference ``matcher_base.py:575-983``,
+    ``_update_features_h5`` ``:824-849``)."""
+
+    def match_all(self, pairs, feature_path, matches_path):
+        import cv2
+
+        general = self.config.get("general", {})
+        image_dir = general.get("image_dir")
+        if image_dir is None:
+            raise ValueError("Detector-free matching needs general['image_dir']")
+        results: Dict[Tuple[str, str], int] = {}
+        for img0, img1 in pairs:
+            try:
+                kpts0, kpts1 = self._match_images(
+                    Path(image_dir) / img0, Path(image_dir) / img1
+                )
+                matches = self._append_features(
+                    feature_path, img0, img1, kpts0, kpts1
+                )
+                self._save_raw(matches_path, img0, img1, matches)
+                verified = self._verify_and_save_coords(
+                    matches_path, img0, img1, matches, kpts0, kpts1
+                )
+                results[(img0, img1)] = 0 if verified is None else len(verified)
+            except Exception as e:
+                logger.warning(f"Detector-free matching {img0}-{img1} failed: {e}")
+                results[(img0, img1)] = 0
+        return results
+
+    def _match_images(self, path0, path1):
+        """Subclass hook: image paths -> matched coordinate arrays
+        (kpts0 (M, 2), kpts1 (M, 2)) in full-resolution pixels."""
+        raise NotImplementedError
+
+    def _append_features(self, feature_path, img0, img1, kpts0, kpts1):
+        """Append per-pair keypoints to each image's feature group with
+        index offsetting; returns the (M, 2) match index array."""
+        import h5py
+
+        m = len(kpts0)
+        matches = np.zeros((m, 2), np.int32)
+        with h5py.File(str(feature_path), "a", libver="latest") as fd:
+            for col, (name, kpts) in enumerate(((img0, kpts0), (img1, kpts1))):
+                grp = fd.require_group(name)
+                if "keypoints" in grp:
+                    old = np.asarray(grp["keypoints"])
+                    offset = len(old)
+                    new = np.concatenate([old, kpts.astype(np.float32)], axis=0)
+                    del grp["keypoints"]
+                else:
+                    offset = 0
+                    new = kpts.astype(np.float32)
+                grp.create_dataset("keypoints", data=new)
+                matches[:, col] = np.arange(m) + offset
+        return matches
+
+    def _verify_and_save_coords(
+        self, matches_path, img0, img1, matches, kpts0, kpts1
+    ):
+        """GV directly on the matched coordinates (indices are 1:1)."""
+        if len(matches) < 8:
+            return None
+        threshold = self.gv_threshold * GV_QUALITY_SCALES[self.quality]
+        _, inlier_mask = geometric_verification(
+            kpts0=kpts0, kpts1=kpts1,
+            method=self.gv_method, threshold=threshold,
+            confidence=self.gv_confidence,
+        )
+        num_inliers = int(np.sum(inlier_mask))
+        ratio = num_inliers / max(len(matches), 1)
+        if num_inliers < self.min_inliers_per_pair:
+            return None
+        if ratio < self.min_inlier_ratio_per_pair:
+            return None
+        verified = matches[np.asarray(inlier_mask, bool)]
+        save_matches(matches_path, img0, img1, verified)
+        return verified
+
+
 # ---------------------------------------------------------------------------
 # Reflection loader (reference ``matchers/matcher_base.py:36-61``)
 # ---------------------------------------------------------------------------
@@ -428,7 +510,8 @@ def matcher_loader(root_module, name: str):
     module = importlib.import_module(f"{root_module.__name__}.{name}")
     classes = [
         c for _, c in inspect.getmembers(module, inspect.isclass)
-        if issubclass(c, MatcherBase) and c not in (MatcherBase, BatchedMatcher)
+        if issubclass(c, MatcherBase)
+        and c not in (MatcherBase, BatchedMatcher, DetectorFreeMatcher)
         and c.__module__ == module.__name__
     ]
     if not classes:
