@@ -1,0 +1,102 @@
+"""Retrieval-based pair selection from global descriptors.
+
+Parity: reference ``image_retrieval.py:7-44`` — global descriptors
+(NetVLAD / OpenIBL / CosPlace / DIR) + top-k similarity pairs, deduplicated.
+The descriptor runs as one jitted batch program; similarity is a single
+matmul. Without pretrained checkpoints (no network egress here) the
+weight-free ``tiny`` descriptor backs all four names with a warning.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import List, Tuple
+
+import numpy as np
+
+from .models import retrieval as R
+from .utils.image import ImageList, read_image, resize_image
+
+logger = logging.getLogger("dim_tpu")
+
+
+def compute_global_descriptors(
+    image_list: ImageList,
+    retrieval: str = "netvlad",
+    resize_max: int = 640,
+    batch_size: int = 8,
+) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    imgs = []
+    for im in image_list:
+        arr = read_image(im.path, grayscale=False).astype(np.float32) / 255.0
+        h, w = arr.shape[:2]
+        s = resize_max / max(h, w)
+        arr = resize_image(arr, (max(8, round(w * s)), max(8, round(h * s))))
+        # common size for batching
+        arr = resize_image(arr, (resize_max, resize_max * 3 // 4))
+        imgs.append(arr)
+    batch_all = np.stack(imgs)
+
+    netvlad_params = _load_netvlad() if retrieval == "netvlad" else None
+    descs = []
+    for s in range(0, len(batch_all), batch_size):
+        chunk = jnp.asarray(batch_all[s : s + batch_size])
+        if netvlad_params is not None:
+            feats = R.vgg16_features(netvlad_params["backbone"], chunk)
+            d = R.netvlad_aggregate(
+                feats,
+                netvlad_params["centers"], netvlad_params["assign_w"],
+                netvlad_params.get("pca_w"), netvlad_params.get("pca_b"),
+            )
+        else:
+            d = R.tiny_descriptor(chunk)
+        descs.append(np.asarray(d))
+    return np.concatenate(descs, axis=0)
+
+
+def _load_netvlad():
+    wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
+    for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
+        cand = base / "netvlad.npz"
+        if cand.exists():
+            import jax.numpy as jnp
+
+            data = np.load(cand)
+            logger.info(f"Loaded NetVLAD weights from {cand}")
+            return {k: jnp.asarray(v) for k, v in data.items()}
+    logger.warning(
+        "No NetVLAD checkpoint (set DIM_TPU_WEIGHTS_DIR/netvlad.npz); "
+        "falling back to the weight-free 'tiny' global descriptor."
+    )
+    return None
+
+
+def retrieval_pairs(
+    image_list: ImageList,
+    retrieval: str = "netvlad",
+    num_matched: int = 10,
+) -> List[Tuple[str, str]]:
+    names = image_list.img_names
+    if retrieval not in ("netvlad", "openibl", "cosplace", "dir"):
+        raise ValueError(f"Unknown retrieval method '{retrieval}'")
+    if retrieval != "netvlad":
+        logger.warning(
+            f"'{retrieval}' pretrained weights are not available offline; "
+            "using the weight-free descriptor."
+        )
+        retrieval = "tiny"
+    descs = compute_global_descriptors(image_list, retrieval)
+    sim = descs @ descs.T
+    np.fill_diagonal(sim, -np.inf)
+    pairs = set()
+    k = min(num_matched, len(names) - 1)
+    for i in range(len(names)):
+        for j in np.argsort(-sim[i])[:k]:
+            pairs.add(tuple(sorted((names[i], names[int(j)]))))
+    logger.info(f"Retrieval selected {len(pairs)} pairs (top-{k})")
+    return sorted(pairs)

@@ -136,7 +136,7 @@ def read_points3D_text(path) -> Dict[int, Point3D]:
         points[pid] = Point3D(
             id=pid,
             xyz=np.array(list(map(float, e[1:4]))),
-            rgb=np.array(list(map(int, e[4:7]))),
+            rgb=np.array([int(float(v)) for v in e[4:7]]),
             error=float(e[7]),
             image_ids=np.array(list(map(int, e[8::2]))),
             point2D_idxs=np.array(list(map(int, e[9::2]))),
@@ -176,7 +176,7 @@ def write_points3D_text(points3D: Dict[int, Point3D], path) -> None:
         f.write("#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, TRACK[] as (IMAGE_ID, POINT2D_IDX)\n")
         for pt in points3D.values():
             xyz = " ".join(map(str, pt.xyz))
-            rgb = " ".join(map(str, pt.rgb))
+            rgb = " ".join(str(int(v)) for v in pt.rgb)
             track = " ".join(
                 f"{iid} {pidx}" for iid, pidx in zip(pt.image_ids, pt.point2D_idxs)
             )

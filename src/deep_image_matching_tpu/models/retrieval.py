@@ -1,0 +1,137 @@
+"""Global image descriptors for retrieval-based pair selection.
+
+Parity: reference ``image_retrieval.py:7-44`` + hloc retrieval nets
+(NetVLAD / OpenIBL / CosPlace / DIR; SURVEY.md section 2.2). Implemented
+TPU-native:
+
+- ``netvlad``: VGG16 conv backbone + NetVLAD aggregation (64 clusters,
+  intra-normalization + global L2, optional PCA whitening), converting the
+  hloc/torchvision weight layouts.
+- ``gem`` (backing cosplace/openibl/dir when their checkpoints are given):
+  generalized-mean pooling over the same conv backbone + linear projection.
+- ``tiny``: a weight-free classical descriptor (downsampled, contrast
+  normalized thumbnail) so retrieval works with zero checkpoints — the
+  offline default when no weights are available.
+
+All descriptors are computed as one jitted program per image batch and
+compared with a single (N, D) x (D, N) MXU matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict
+
+# VGG16 conv config (through conv5_3, matching NetVLAD's cropped backbone)
+_VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
+
+
+def vgg16_params_from_torch(state_dict) -> Params:
+    """torchvision VGG16 ``features.*`` conv weights -> HWIO list."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    convs = []
+    idx = 0
+    for c in _VGG16_CFG:
+        if c == "M":
+            idx += 1
+            continue
+        convs.append({
+            "w": jnp.asarray(sd[f"features.{idx}.weight"].transpose(2, 3, 1, 0), jnp.float32),
+            "b": jnp.asarray(sd[f"features.{idx}.bias"], jnp.float32),
+        })
+        idx += 2  # conv + relu
+    return {"convs": convs}
+
+
+def init_vgg16_params(key: jax.Array) -> Params:
+    convs = []
+    cin = 3
+    rng = np.random.default_rng(0)
+    for c in _VGG16_CFG:
+        if c == "M":
+            continue
+        w = rng.normal(0, np.sqrt(2.0 / (cin * 9)), (3, 3, cin, c)).astype(np.float32)
+        convs.append({"w": jnp.asarray(w), "b": jnp.zeros((c,), jnp.float32)})
+        cin = c
+    return {"convs": convs}
+
+
+def vgg16_features(params: Params, images: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) in [0,1] -> (B, H/16, W/16, 512) conv5_3 activations
+    (pre-ReLU per NetVLAD convention: hloc uses the backbone up to conv5_3
+    without the final ReLU)."""
+    x = images
+    ci = 0
+    n_convs = sum(1 for c in _VGG16_CFG if c != "M")
+    for c in _VGG16_CFG:
+        if c == "M":
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+            continue
+        p = params["convs"][ci]
+        x = jax.lax.conv_general_dilated(
+            x, p["w"], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["b"]
+        ci += 1
+        if ci < n_convs:  # last conv has no ReLU
+            x = jax.nn.relu(x)
+    return x
+
+
+def netvlad_aggregate(
+    feats: jnp.ndarray,       # (B, H, W, D)
+    centers: jnp.ndarray,     # (K, D) cluster centers
+    assign_w: jnp.ndarray,    # (D, K) soft-assignment projection
+    pca_w: Optional[jnp.ndarray] = None,  # (K*D, out)
+    pca_b: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """NetVLAD layer: soft-assigned residual aggregation with intra- and
+    global L2 normalization (Arandjelovic et al.)."""
+    B, H, W, D = feats.shape
+    x = feats.reshape(B, H * W, D)
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    logits = jnp.einsum("bnd,dk->bnk", x, assign_w, preferred_element_type=jnp.float32)
+    soft = jax.nn.softmax(logits, axis=-1)  # (B, N, K)
+    # residual aggregation: sum_n a_nk (x_n - c_k)
+    agg = jnp.einsum("bnk,bnd->bkd", soft, x, preferred_element_type=jnp.float32)
+    counts = soft.sum(axis=1)  # (B, K)
+    vlad = agg - counts[..., None] * centers[None]
+    # intra-normalize per cluster, then flatten + global L2
+    vlad = vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12)
+    v = vlad.reshape(B, -1)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    if pca_w is not None:
+        v = v @ pca_w + (pca_b if pca_b is not None else 0.0)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    return v
+
+
+def gem_pool(feats: jnp.ndarray, p: float = 3.0) -> jnp.ndarray:
+    """Generalized-mean pooling (B, H, W, D) -> (B, D), L2-normalized."""
+    x = jnp.maximum(feats, 1e-6) ** p
+    v = x.mean(axis=(1, 2)) ** (1.0 / p)
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+@jax.jit
+def tiny_descriptor(images: jnp.ndarray) -> jnp.ndarray:
+    """Weight-free global descriptor: 16x16 contrast-normalized grayscale
+    thumbnail + color means, L2-normalized. Deterministic and surprisingly
+    effective for near-duplicate / same-scene retrieval."""
+    B = images.shape[0]
+    gray = images.mean(axis=-1, keepdims=True)
+    thumb = jax.image.resize(gray, (B, 16, 16, 1), "linear").reshape(B, -1)
+    mu = thumb.mean(axis=1, keepdims=True)
+    sd = thumb.std(axis=1, keepdims=True) + 1e-6
+    thumb = (thumb - mu) / sd
+    color = jax.image.resize(images, (B, 4, 4, images.shape[-1]), "linear").reshape(B, -1)
+    v = jnp.concatenate([thumb, color], axis=1)
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
