@@ -1,0 +1,84 @@
+"""KeyNet+AffNet+HardNet extractor wrapper.
+
+Parity: reference ``extractors/keynetaffnethardnet.py:9-58`` (kornia
+``KF.KeyNetAffNetHardNet``; n_features, upright). Detection here is the
+weight-free scale-space determinant-of-Hessian stage of the KeyNet response
+(KeyNet's learned filter bank needs kornia weights that are unavailable
+offline); orientation via gradient moments (OriNet's role); descriptors are
+the exact HardNet CNN with a converter for standard HardNet checkpoints
+(``models/hardnet.py``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..models import hardnet as hn
+from .extractor_base import ExtractorBase, FeaturesDict
+
+logger = logging.getLogger("dim_tpu")
+
+_PARAMS = None
+
+
+def _load():
+    global _PARAMS
+    if _PARAMS is not None:
+        return _PARAMS
+    import jax
+
+    wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
+    for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
+        for name in ("hardnet.pth", "HardNet++.pth", "checkpoint_liberty_with_aug.pth"):
+            cand = base / name
+            if cand.exists():
+                import torch
+
+                ckpt = torch.load(str(cand), map_location="cpu")
+                sd = ckpt.get("state_dict", ckpt)
+                _PARAMS = hn.hardnet_params_from_torch(sd)
+                logger.info(f"Loaded HardNet weights from {cand}")
+                return _PARAMS
+    logger.warning("No HardNet weights (set DIM_TPU_WEIGHTS_DIR); random init.")
+    _PARAMS = hn.init_hardnet_params(jax.random.PRNGKey(23))
+    return _PARAMS
+
+
+class KeyNetAffNetHardNetExtractor(ExtractorBase):
+    default_conf = {
+        "n_features": 4000,
+        "upright": False,
+    }
+    grayscale = True
+    as_float = True
+    descriptor_size = 128
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        self.params = _load()
+        self.n_features = int(self.conf.get("n_features", 4000))
+        self.upright = bool(self.conf.get("upright", False))
+
+    def _extract(self, image: np.ndarray) -> FeaturesDict:
+        import jax.numpy as jnp
+
+        if image.ndim == 3:
+            image = image.mean(-1)
+        h, w = image.shape
+        cap = ((min(self.n_features, 8192) + 127) // 128) * 128
+        out = hn.keynet_hardnet_extract(
+            self.params, jnp.asarray(image[None].astype(np.float32)),
+            jnp.asarray([[h, w]], np.int32),
+            max_keypoints=cap, upright=self.upright,
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        m = out["mask"][0]
+        return {
+            "keypoints": out["keypoints"][0][m],
+            "scores": out["scores"][0][m],
+            "descriptors": out["descriptors"][0][m],
+        }
