@@ -389,6 +389,7 @@ class Config:
                 raise ValueError("'covisibility' strategy requires --db_path")
             self.general["db_path"] = Path(db)
         self.general["upright"] = bool(a.get("upright", False))
+        self.general["resume"] = bool(a.get("resume", False))
         self.general["verbose"] = bool(a.get("verbose", False))
         self.general["graph"] = a.get("graph", True)
         self.general["skip_reconstruction"] = bool(a.get("skip_reconstruction", False))
@@ -422,7 +423,7 @@ class Config:
                 v = tuple(int(x) for x in v.strip("()[] ").split(","))
             if k not in conf_general and k not in (
                 "matching_strategy", "overlap", "pair_file", "retrieval", "db_path",
-                "upright", "verbose", "graph", "skip_reconstruction",
+                "upright", "resume", "verbose", "graph", "skip_reconstruction",
                 "openmvg_conf", "camera_options",
             ):
                 logger.warning(f"Unknown general option '{k}' (kept anyway)")

@@ -65,18 +65,20 @@ class SuperPointExtractor(ExtractorBase):
         results = self._runner.extract_arrays(
             [(arr, 1.0, orig) for arr, _, orig in prepped]
         )
-        for img, (arr, _, (w, h)), feats in zip(images, prepped, results):
-            ah, aw = arr.shape
-            sx, sy = w / aw, h / ah
-            kpts = feats["keypoints"] * np.array([sx, sy], np.float32)
-            save_features(
-                feature_path,
-                img.name,
-                keypoints=kpts,
-                descriptors=feats["descriptors"],
-                scores=feats["scores"],
-                image_size=np.array([w, h], np.int64),
-            )
+        from ..io.writer import AsyncFeatureWriter
+
+        with AsyncFeatureWriter(feature_path) as writer:
+            for img, (arr, _, (w, h)), feats in zip(images, prepped, results):
+                ah, aw = arr.shape
+                sx, sy = w / aw, h / ah
+                kpts = feats["keypoints"] * np.array([sx, sy], np.float32)
+                writer.put(
+                    img.name,
+                    keypoints=kpts,
+                    descriptors=feats["descriptors"],
+                    scores=feats["scores"],
+                    image_size=np.array([w, h], np.int64),
+                )
 
     def _extract(self, image: np.ndarray) -> FeaturesDict:
         """Single image/tile path (used by the tiling template)."""

@@ -100,8 +100,26 @@ class ImageMatcher:
         return self.pairs
 
     def extract_features(self) -> Path:
+        """Extract features; with general['resume'] the existing features.h5
+        is reused when it covers all images (checkpoint/resume — the durable
+        h5 artifacts are the stage boundaries; the reference lacks this,
+        see its ``config.py:545-559``)."""
         feature_path = self.output_dir / "features.h5"
         if feature_path.exists():
+            if self.config.general.get("resume"):
+                from .io.h5 import list_h5_names
+
+                have = set(list_h5_names(feature_path))
+                missing = [
+                    im for im in self.image_list if im.name not in have
+                ]
+                if not missing:
+                    logger.info(f"Resume: reusing features for all "
+                                f"{len(self.image_list)} images")
+                    return feature_path
+                logger.info(f"Resume: extracting {len(missing)} missing images")
+                self.extractor.extract_batch(missing, feature_path)
+                return feature_path
             feature_path.unlink()
         self.extractor.extract_batch(list(self.image_list), feature_path)
         logger.info(f"Features saved to {feature_path}")
@@ -110,9 +128,20 @@ class ImageMatcher:
     def match_pairs(self, pairs, feature_path: Path) -> Path:
         match_path = self.output_dir / "matches.h5"
         raw_path = self.output_dir / "raw_matches.h5"
-        for p in (match_path, raw_path):
-            if p.exists():
-                p.unlink()
+        if self.config.general.get("resume") and raw_path.exists():
+            from .io.h5 import list_pairs
+
+            done = set(list_pairs(raw_path))
+            todo = [p for p in pairs if tuple(p) not in done]
+            logger.info(
+                f"Resume: {len(pairs) - len(todo)} pairs already matched, "
+                f"{len(todo)} to go"
+            )
+            pairs = todo
+        else:
+            for p in (match_path, raw_path):
+                if p.exists():
+                    p.unlink()
         results = self.matcher.match_all(pairs, feature_path, match_path)
         kept = sum(1 for v in results.values() if v > 0)
         logger.info(

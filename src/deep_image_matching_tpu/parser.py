@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("-db", "--db_path", type=str, help="COLMAP db for covisibility")
     parser.add_argument("--upright", action="store_true", help="Rotate images upright")
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Reuse existing features.h5/raw_matches.h5 (skip completed work)",
+    )
     parser.add_argument("--skip_reconstruction", action="store_true")
     parser.add_argument("-f", "--force", action="store_true", help="Overwrite outputs")
     parser.add_argument("-V", "--verbose", action="store_true")
