@@ -1,25 +1,115 @@
-"""RoMa dense matcher wrapper.
+"""RoMa dense matcher wrapper (JAX).
 
-Parity target: reference ``matchers/roma.py:23-457``
-(``thirdparty/RoMa``: DINOv2 ViT-L coarse features + Gaussian-Process match
-decoder + ConvRefiner, dense warp + balanced sampling). The ViT/GP stack
-port is scheduled for the next round; constructing this matcher raises a
-clear error. The detector-free pipeline contract it needs
-(``DetectorFreeMatcher``: per-pair keypoints appended to features.h5,
-dense->multiview track merge) is already in place and exercised by LoFTR.
+Parity: reference ``matchers/roma.py:23-457`` — detector-free dense matching
+at the model resolution (560), symmetric warp + certainty, threshold-balanced
+sampling, keypoints appended into features.h5 per pair.
+
+Weights: ``roma_outdoor.pth`` + ``dinov2_vitl14_pretrain.pth`` in
+DIM_TPU_WEIGHTS_DIR (both convert at load); deterministic random init (with a
+shallow ViT) otherwise. The reference's second 864-res upsample refinement
+pass is not yet ported (tracked; quality at 560 is the paper's base
+operating point).
 """
 
 from __future__ import annotations
 
+import logging
+import os
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+from ..constants import Quality
+from ..utils.image import read_image, resize_image
 from .matcher_base import DetectorFreeMatcher
+
+logger = logging.getLogger("dim_tpu")
+
+_PARAMS = None
+
+
+def load_params():
+    global _PARAMS
+    if _PARAMS is not None:
+        return _PARAMS
+    import jax
+
+    from ..models import roma as roma_model
+
+    wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
+    bases = ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]
+    for base in bases:
+        for name in ("roma_outdoor.pth", "roma_indoor.pth"):
+            cand = base / name
+            if cand.exists():
+                import torch
+
+                sd = torch.load(str(cand), map_location="cpu")
+                sd = sd.get("state_dict", sd)
+                dino = None
+                dcand = base / "dinov2_vitl14_pretrain.pth"
+                if dcand.exists():
+                    dino = torch.load(str(dcand), map_location="cpu")
+                else:
+                    logger.warning(
+                        "roma weights found but dinov2_vitl14_pretrain.pth is "
+                        "missing - coarse matching will be random"
+                    )
+                _PARAMS = roma_model.params_from_torch(sd, dino)
+                if dino is None:
+                    _PARAMS["dinov2"] = __import__(
+                        "deep_image_matching_tpu.models.dinov2", fromlist=["x"]
+                    ).init_params(jax.random.PRNGKey(0), depth=2)
+                logger.info(f"Loaded RoMa weights from {cand}")
+                return _PARAMS
+    logger.warning(
+        "No RoMa weights (set DIM_TPU_WEIGHTS_DIR); using random init with a "
+        "shallow ViT - matches will be meaningless."
+    )
+    _PARAMS = roma_model.init_params(jax.random.PRNGKey(29), dinov2_depth=2)
+    return _PARAMS
 
 
 class RomaMatcher(DetectorFreeMatcher):
-    default_conf = {"pretrained": "outdoor"}
+    default_conf = {
+        "pretrained": "outdoor",
+        "coarse_res": 560,
+        "num_sampled_points": 5000,
+        "sample_thresh": 0.05,
+    }
 
     def __init__(self, config: dict):
         super().__init__(config)
-        raise NotImplementedError(
-            "roma: the DINOv2 + GP-decoder port is scheduled for the next "
-            "round. The detector-free pipeline (LoFTR) is available now."
+        self.params = load_params()
+        self.res = int(self.conf.get("coarse_res", 560))
+        if self.res % 56 != 0:
+            raise ValueError("coarse_res must be a multiple of 56 (14 and 8)")
+        self.num_points = int(self.conf.get("num_sampled_points", 5000))
+        self.sample_thresh = float(self.conf.get("sample_thresh", 0.05))
+        self._key = 0
+
+    def _match_images(self, path0, path1) -> Tuple[np.ndarray, np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import roma as roma_model
+
+        imA = read_image(path0, grayscale=False).astype(np.float32) / 255.0
+        imB = read_image(path1, grayscale=False).astype(np.float32) / 255.0
+        HA, WA = imA.shape[:2]
+        HB, WB = imB.shape[:2]
+        a = resize_image(imA, (self.res, self.res))
+        b = resize_image(imB, (self.res, self.res))
+        warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair(
+            self.params, jnp.asarray(a[None]), jnp.asarray(b[None])
         )
+        self._key += 1
+        matches, cert = roma_model.sample_matches(
+            np.asarray(warp_ab[0]), np.asarray(cert_ab[0]),
+            np.asarray(warp_ba[0]), np.asarray(cert_ba[0]),
+            jax.random.PRNGKey(self._key),
+            num=self.num_points, sample_thresh=self.sample_thresh,
+        )
+        kA, kB = roma_model.to_pixel_coordinates(matches, HA, WA, HB, WB)
+        return kA.astype(np.float32), kB.astype(np.float32)

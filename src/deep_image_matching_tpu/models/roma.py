@@ -1,0 +1,495 @@
+"""RoMa dense matcher as a batched, fixed-shape JAX program.
+
+Architecture parity with the reference's vendored RoMa (Edstedt et al.,
+CVPR'24; ``thirdparty/RoMa/roma/models/matcher.py:19-896``,
+``model_zoo/roma_models.py:10-179``, ``models/encoders.py``,
+``utils/local_correlation.py``, ``utils/utils.py:328-357``):
+
+- coarse encoder: DINOv2 ViT-L/14 patch tokens (``models/dinov2.py``);
+  fine encoder: VGG19-bn pyramid (shared ``models/vgg_refiner.py``);
+- per-scale 1x1 projections (BN folded);
+- GP match encoder at scale 16: cosine kernel K, fourier coordinate basis
+  cos(8*pi*W p), posterior mean K_xy (K_yy + sigma I)^-1 f (no_cov);
+- transformer coordinate decoder: 5 ViT blocks (dim 1024, 8 heads) over
+  [gp_posterior, projected features] tokens -> 64^2+1 anchor-classifier;
+  ``cls_to_flow_refine`` converts class probabilities to a flow estimate;
+- ConvRefiners at scales 16/8/4/2/1 with displacement embedding and
+  (2r+1)^2 local correlation gathered around the current warp;
+- symmetric matching (A->B and B->A decoded in one batch), certainty
+  attenuation, and threshold-balanced sampling (gumbel top-k multinomial +
+  KDE density balancing) in ``sample_matches``.
+
+TPU-native: all sampling (grid_sample warps, local correlation) is the
+shared zero-pad bilinear gather; the GP solve is one batched 1600x1600
+``jnp.linalg.solve``; everything is NHWC, fixed-shape, jit-compiled.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.deform import bilinear_sample_zeropad
+from . import dinov2
+from .vgg_refiner import vgg19_features, vgg19_params_from_torch, init_vgg19_params
+
+Params = Dict
+
+SCALES = ["16", "8", "4", "2", "1"]
+CLS_RES = 64
+GP_DIM = 512
+# ConvRefiner configs: (in_dim, hidden_dim, disp_dim, local_corr_radius)
+_REFINERS = {
+    "16": (2 * 512 + 128 + 225, 2 * 512 + 128 + 225, 128, 7),
+    "8": (2 * 512 + 64 + 49, 2 * 512 + 64 + 49, 64, 3),
+    "4": (2 * 256 + 32 + 25, 2 * 256 + 32 + 25, 32, 2),
+    "2": (2 * 64 + 16, 128 + 16, 16, None),
+    "1": (2 * 9 + 6, 24, 6, None),
+}
+_PROJ = {"16": (1024, 512), "8": (512, 512), "4": (256, 256), "2": (128, 64), "1": (64, 9)}
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def params_from_torch(state_dict, dinov2_state_dict=None) -> Params:
+    """Convert a roma_outdoor/indoor checkpoint (+ separate dinov2 weights)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def lin(prefix):
+        out = {"w": jnp.asarray(sd[f"{prefix}.weight"].T, jnp.float32)}
+        if f"{prefix}.bias" in sd:
+            out["b"] = jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)
+        return out
+
+    def conv1x1_bn(prefix):
+        w = sd[f"{prefix}.0.weight"][:, :, 0, 0].T  # (in, out)
+        b = sd.get(f"{prefix}.0.bias", np.zeros(w.shape[1]))
+        g, beta = sd[f"{prefix}.1.weight"], sd[f"{prefix}.1.bias"]
+        mean, var = sd[f"{prefix}.1.running_mean"], sd[f"{prefix}.1.running_var"]
+        s = g / np.sqrt(var + 1e-5)
+        return {
+            "w": jnp.asarray(w * s[None, :], jnp.float32),
+            "b": jnp.asarray((b - mean) * s + beta, jnp.float32),
+        }
+
+    def refiner_block(prefix, dw_groups):
+        w1 = sd[f"{prefix}.0.weight"].transpose(2, 3, 1, 0)
+        b1 = sd.get(f"{prefix}.0.bias")
+        g, beta = sd[f"{prefix}.1.weight"], sd[f"{prefix}.1.bias"]
+        mean, var = sd[f"{prefix}.1.running_mean"], sd[f"{prefix}.1.running_var"]
+        s = g / np.sqrt(var + 1e-5)
+        return {
+            "conv1": {
+                "w": jnp.asarray(w1 * s[None, None, None, :], jnp.float32),
+                "b": jnp.asarray(((b1 if b1 is not None else 0.0) - mean) * s + beta, jnp.float32),
+            },
+            "conv2": {
+                "w": jnp.asarray(sd[f"{prefix}.3.weight"].transpose(2, 3, 1, 0), jnp.float32),
+                "b": jnp.asarray(sd[f"{prefix}.3.bias"], jnp.float32),
+            },
+        }
+
+    def refiner(prefix):
+        n_hidden = 1 + max(
+            int(k[len(prefix) + 15:].split(".")[0])
+            for k in sd if k.startswith(f"{prefix}.hidden_blocks.")
+        )
+        out = {
+            "block1": refiner_block(f"{prefix}.block1", 1),
+            "hidden": [
+                refiner_block(f"{prefix}.hidden_blocks.{h}", None)
+                for h in range(n_hidden)
+            ],
+            "out": {
+                "w": jnp.asarray(sd[f"{prefix}.out_conv.weight"].transpose(2, 3, 1, 0), jnp.float32),
+                "b": jnp.asarray(sd[f"{prefix}.out_conv.bias"], jnp.float32),
+            },
+        }
+        if f"{prefix}.disp_emb.weight" in sd:
+            out["disp_emb"] = {
+                "w": jnp.asarray(sd[f"{prefix}.disp_emb.weight"][:, :, 0, 0].T, jnp.float32),
+                "b": jnp.asarray(sd[f"{prefix}.disp_emb.bias"], jnp.float32),
+            }
+        return out
+
+    def vit_block(prefix):
+        blk = {
+            "ln1": {"g": jnp.asarray(sd[f"{prefix}.norm1.weight"], jnp.float32),
+                    "b": jnp.asarray(sd[f"{prefix}.norm1.bias"], jnp.float32)},
+            "qkv": lin(f"{prefix}.attn.qkv"),
+            "proj": lin(f"{prefix}.attn.proj"),
+            "ln2": {"g": jnp.asarray(sd[f"{prefix}.norm2.weight"], jnp.float32),
+                    "b": jnp.asarray(sd[f"{prefix}.norm2.bias"], jnp.float32)},
+            "fc1": lin(f"{prefix}.mlp.fc1"),
+            "fc2": lin(f"{prefix}.mlp.fc2"),
+        }
+        if f"{prefix}.ls1.gamma" in sd:
+            blk["ls1"] = jnp.asarray(sd[f"{prefix}.ls1.gamma"], jnp.float32)
+            blk["ls2"] = jnp.asarray(sd[f"{prefix}.ls2.gamma"], jnp.float32)
+        return blk
+
+    params: Params = {
+        "vgg": vgg19_params_from_torch(sd, prefix="encoder.cnn.layers"),
+        "proj": {s: conv1x1_bn(f"decoder.proj.{s}") for s in SCALES},
+        "gp_pos_conv": {
+            "w": jnp.asarray(sd["decoder.gps.16.pos_conv.weight"][:, :, 0, 0].T, jnp.float32),
+            "b": jnp.asarray(sd["decoder.gps.16.pos_conv.bias"], jnp.float32),
+        },
+        "embed_blocks": [
+            vit_block(f"decoder.embedding_decoder.blocks.{i}") for i in range(5)
+        ],
+        "embed_out": lin("decoder.embedding_decoder.to_out"),
+        "refiners": {s: refiner(f"decoder.conv_refiner.{s}") for s in SCALES},
+    }
+    if dinov2_state_dict is not None:
+        params["dinov2"] = dinov2.params_from_torch(dinov2_state_dict)
+    return params
+
+
+def init_params(key, dinov2_depth: int = 2) -> Params:
+    """Random init at the published shapes (tests; shallow ViT)."""
+    rng = np.random.default_rng(0)
+
+    def lin(ci, co):
+        return {"w": jnp.asarray(rng.normal(0, 1 / np.sqrt(ci), (ci, co)), jnp.float32),
+                "b": jnp.zeros((co,), jnp.float32)}
+
+    def conv(k, ci, co, groups=1):
+        w = rng.normal(0, np.sqrt(2.0 / (ci // groups * k * k)), (k, k, ci // groups, co))
+        return {"w": jnp.asarray(w, jnp.float32), "b": jnp.zeros((co,), jnp.float32)}
+
+    def refiner(cin, hidden, disp, n_hidden=8):
+        return {
+            "block1": {"conv1": conv(5, cin, hidden, groups=cin), "conv2": conv(1, hidden, hidden)},
+            "hidden": [
+                {"conv1": conv(5, hidden, hidden, groups=hidden), "conv2": conv(1, hidden, hidden)}
+                for _ in range(n_hidden)
+            ],
+            "out": conv(1, hidden, 3),
+            "disp_emb": lin(2, disp),
+        }
+
+    d = 1024
+    vit_blocks = []
+    for _ in range(5):
+        vit_blocks.append({
+            "ln1": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            "qkv": lin(d, 3 * d), "proj": lin(d, d),
+            "ln2": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            "fc1": lin(d, 4 * d), "fc2": lin(4 * d, d),
+        })
+    return {
+        "vgg": init_vgg19_params(key),
+        "proj": {s: lin(ci, co) for s, (ci, co) in _PROJ.items()},
+        "gp_pos_conv": lin(2, GP_DIM),
+        "embed_blocks": vit_blocks,
+        "embed_out": lin(d, CLS_RES**2 + 1),
+        "refiners": {
+            s: refiner(ci, h, disp)
+            for s, (ci, h, disp, _r) in _REFINERS.items()
+        },
+        "dinov2": dinov2.init_params(key, depth=dinov2_depth),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def _grid(h, w, dtype=jnp.float32):
+    """Half-pixel normalized coordinate grid (h, w, 2) in (x, y) order."""
+    ys = (jnp.arange(h, dtype=dtype) + 0.5) / h * 2.0 - 1.0
+    xs = (jnp.arange(w, dtype=dtype) + 0.5) / w * 2.0 - 1.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def _grid_sample(fmap, coords):
+    """torch grid_sample(align_corners=False, zeros) equivalent.
+    fmap (H, W, C); coords (..., 2) normalized."""
+    H, W = fmap.shape[:2]
+    px = (coords[..., 0] + 1.0) * W / 2.0 - 0.5
+    py = (coords[..., 1] + 1.0) * H / 2.0 - 0.5
+    return bilinear_sample_zeropad(fmap, jnp.stack([px, py], axis=-1))
+
+
+def cos_kernel(x, y, T=0.2, eps=1e-6):
+    """K(x,y) = exp((cos(x,y) - 1)/T); x (B,N,D), y (B,M,D) -> (B,N,M)."""
+    c = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)
+    nx = jnp.linalg.norm(x, axis=-1)[..., None]
+    ny = jnp.linalg.norm(y, axis=-1)[:, None, :]
+    c = c / (nx * ny + eps)
+    return jnp.exp((c - 1.0) / T)
+
+
+def gp_posterior(params, f1, f2, T=0.2, sigma_noise=0.1):
+    """GP match encoder at the coarse scale (no_cov): posterior mean of the
+    fourier-embedded image-2 coordinates given feature similarity.
+    f1, f2: (B, H, W, C) -> (B, H, W, GP_DIM)."""
+    B, H, W, C = f1.shape
+    coords = _grid(H, W)  # same grid both images at equal res
+    f = jnp.cos(
+        8.0 * jnp.pi * (coords @ params["gp_pos_conv"]["w"] + params["gp_pos_conv"]["b"])
+    )
+    f = jnp.tile(f.reshape(1, H * W, -1), (B, 1, 1))
+    x = f1.reshape(B, H * W, C).astype(jnp.float32)
+    y = f2.reshape(B, H * W, C).astype(jnp.float32)
+    K_xy = cos_kernel(x, y, T)
+    K_yy = cos_kernel(y, y, T)
+    eye = jnp.eye(H * W, dtype=jnp.float32) * sigma_noise
+    sol = jnp.linalg.solve(K_yy + eye[None], f)
+    mu = jnp.einsum("bnm,bmd->bnd", K_xy, sol, preferred_element_type=jnp.float32)
+    return mu.reshape(B, H, W, -1)
+
+
+def _vit_block_fwd(x, blk, num_heads=8):
+    from .dinov2 import _lin, _ln
+
+    B, N, D = x.shape
+    hd = D // num_heads
+    h = _ln(x, blk["ln1"])
+    qkv = _lin(h, blk["qkv"]).reshape(B, N, 3, num_heads, hd)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) / np.sqrt(hd)
+    attn = jax.nn.softmax(sim, -1).astype(x.dtype)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, N, D)
+    out = _lin(out, blk["proj"])
+    if "ls1" in blk:
+        out = out * blk["ls1"]
+    x = x + out
+    h = _ln(x, blk["ln2"])
+    h = jax.nn.gelu(_lin(h, blk["fc1"]).astype(jnp.float32), approximate=False)
+    h = _lin(h.astype(x.dtype), blk["fc2"])
+    if "ls2" in blk:
+        h = h * blk["ls2"]
+    return x + h
+
+
+def cls_to_flow_refine(cls_logits):
+    """(B, H, W, R*R) anchor logits -> (B, H, W, 2) flow via the local
+    5-anchor refinement (reference ``utils.py:328-357``)."""
+    B, H, W, C = cls_logits.shape
+    res = int(round(np.sqrt(C)))
+    lin = jnp.linspace(-1 + 1 / res, 1 - 1 / res, res)
+    gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
+    G = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (C, 2)
+    p = jax.nn.softmax(cls_logits, axis=-1)
+    mode = jnp.argmax(p, axis=-1)
+    idx = jnp.stack(
+        [mode - 1, mode, mode + 1, mode - res, mode + res], axis=-1
+    ).clip(0, C - 1)
+    nb = jnp.take_along_axis(p, idx.reshape(B, H, W, 5), axis=-1)  # (B,H,W,5)
+    anchors = G[idx]  # (B, H, W, 5, 2)
+    flow = (nb[..., None] * anchors).sum(-2) / nb.sum(-1, keepdims=True)
+    return flow
+
+
+def local_correlation(f1, f2, flow, radius):
+    """(2r+1)^2 correlation of f1 with f2 sampled around flow targets.
+    f1, f2 (H, W, C); flow (H, W, 2) normalized -> (H, W, (2r+1)^2)."""
+    H, W, C = f1.shape
+    r = radius
+    dy = jnp.linspace(-2 * r / H, 2 * r / H, 2 * r + 1)
+    dx = jnp.linspace(-2 * r / W, 2 * r / W, 2 * r + 1)
+    gy, gx = jnp.meshgrid(dy, dx, indexing="ij")
+    win = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (K, 2)
+    pos = flow[:, :, None, :] + win[None, None]  # (H, W, K, 2)
+    samples = _grid_sample(f2, pos)  # (H, W, K, C)
+    return jnp.einsum(
+        "hwc,hwkc->hwk", f1 / np.sqrt(C), samples,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def conv_refiner_fwd(p, f1, f2, flow, scale: str, scale_factor=1.0):
+    """One refinement step at a scale (reference ConvRefiner.forward)."""
+    B, H, W, C = f1.shape
+    _ci, _h, _disp, radius = _REFINERS[scale]
+
+    def per_image(x, y, fl):
+        x_hat = _grid_sample(y, fl)
+        coords = _grid(H, W)
+        disp = fl - coords
+        emb = (40 / 32 * scale_factor * disp) @ p["disp_emb"]["w"] + p["disp_emb"]["b"]
+        parts = [x, x_hat, emb]
+        if radius is not None:
+            parts.append(local_correlation(x, y, fl, radius))
+        d = jnp.concatenate(parts, axis=-1)
+        return d
+
+    d = jax.vmap(per_image)(f1, f2, flow)
+
+    def block(x, bp, dw):
+        groups = x.shape[-1] if dw else 1
+        k = bp["conv1"]["w"].shape[0]
+        pad = (k - 1) // 2
+        h = jax.lax.conv_general_dilated(
+            x, bp["conv1"]["w"], (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        ) + bp["conv1"]["b"]
+        h = jax.nn.relu(h)
+        return jax.lax.conv_general_dilated(
+            h, bp["conv2"]["w"], (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bp["conv2"]["b"]
+
+    x = block(d, p["block1"], dw=True)
+    for bp in p["hidden"]:
+        x = block(x, bp, dw=True)
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), p["out"]["w"], (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["out"]["b"]
+    return out[..., :2], out[..., 2:3]  # displacement, certainty
+
+
+# ---------------------------------------------------------------------------
+# Full matcher
+# ---------------------------------------------------------------------------
+
+def _resize(x, hw):
+    return jax.image.resize(x, (x.shape[0], *hw, x.shape[-1]), "linear")
+
+
+def decode(params, f1_pyr, f2_pyr, scales=SCALES, flow=None, certainty=None,
+           scale_factor=1.0):
+    """Coarse-to-fine warp decoding (reference Decoder.forward)."""
+    sizes = {s: f1_pyr[s].shape[1:3] for s in f1_pyr}
+    coarsest = scales[0]
+    B = f1_pyr[coarsest].shape[0]
+    if flow is None:
+        h, w = sizes[coarsest]
+        flow = jnp.tile(_grid(h, w)[None], (B, 1, 1, 1))
+        certainty = jnp.zeros((B, h, w, 1), jnp.float32)
+    else:
+        flow = _resize(flow, sizes[coarsest])
+        certainty = _resize(certainty, sizes[coarsest])
+
+    for s in scales:
+        f1_s = f1_pyr[s] @ params["proj"][s]["w"] + params["proj"][s]["b"]
+        f2_s = f2_pyr[s] @ params["proj"][s]["w"] + params["proj"][s]["b"]
+        if s == "16":
+            gp = gp_posterior(params, f1_s, f2_s)
+            tokens = jnp.concatenate([gp, f1_s], axis=-1)
+            h, w = tokens.shape[1:3]
+            t = tokens.reshape(B, h * w, -1)
+            for blk in params["embed_blocks"]:
+                t = _vit_block_fwd(t, blk)
+            out = t @ params["embed_out"]["w"] + params["embed_out"]["b"]
+            out = out.reshape(B, h, w, -1)
+            cls_logits, certainty = out[..., :-1], out[..., -1:]
+            flow = cls_to_flow_refine(cls_logits)
+        ins = int(s)
+        delta_flow, delta_cert = conv_refiner_fwd(
+            params["refiners"][s], f1_s, f2_s, flow, s, scale_factor
+        )
+        h, w = sizes[s]
+        disp = ins * jnp.stack(
+            [delta_flow[..., 0] / (4 * w), delta_flow[..., 1] / (4 * h)], axis=-1
+        )
+        flow = flow + disp
+        certainty = certainty + delta_cert
+        if s != "1":
+            nxt = str(ins // 2)
+            flow = _resize(flow, sizes[nxt])
+            certainty = _resize(certainty, sizes[nxt])
+    return flow, certainty
+
+
+def build_pyramid(params, images, use_dino=True, compute_dtype="bfloat16"):
+    """images (B, H, W, 3) in [0,1] -> {scale: (B, h, w, c)} pyramid."""
+    from .vgg_refiner import IMAGENET_MEAN, IMAGENET_STD
+
+    x = (images - IMAGENET_MEAN) / IMAGENET_STD
+    feats = vgg19_features(params["vgg"], x)  # scales [1, 2, 4, 8]
+    pyr = {"1": feats[0], "2": feats[1], "4": feats[2], "8": feats[3]}
+    if use_dino:
+        B, H, W, _ = images.shape
+        tokens = dinov2.forward_features(
+            params["dinov2"], x, compute_dtype=compute_dtype
+        )
+        hp, wp = H // 14, W // 14
+        pyr["16"] = tokens.reshape(B, hp, wp, -1)
+    return pyr
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def match_pair_impl(params, imA, imB, compute_dtype="bfloat16"):
+    """Symmetric dense matching at the model resolution.
+
+    imA/imB (B, H, W, 3) with H, W multiples of 56 (14 and 8 divisible).
+    Returns (warpAB, certA, warpBA, certB) at scale-1 resolution with
+    normalized coordinates."""
+    B = imA.shape[0]
+    both = jnp.concatenate([imA, imB], axis=0)
+    pyr = build_pyramid(params, both, compute_dtype=compute_dtype)
+    f_q = pyr
+    f_s = {s: jnp.concatenate([v[B:], v[:B]], axis=0) for s, v in pyr.items()}
+    flow, cert = decode(params, f_q, f_s)
+    return flow[:B], cert[:B], flow[B:], cert[B:]
+
+
+match_pair = match_pair_impl
+
+
+def sample_matches(
+    warp_ab, cert_ab, warp_ba, cert_ba, key,
+    num: int = 5000, sample_thresh: float = 0.05,
+):
+    """Threshold-balanced sampling (reference ``RegressionMatcher.sample``):
+    certainties clamp to 1 above the threshold, 4x candidates drawn by
+    certainty-weighted sampling without replacement (gumbel top-k), then
+    rebalanced by inverse KDE density. Host-side numpy/JAX mix (one-shot per
+    pair, not a hot loop). Returns (matches (num, 4) normalized, certainty)."""
+    H, W = cert_ab.shape[:2]
+    grid = np.asarray(_grid(H, W))
+    m_ab = np.concatenate([grid, np.asarray(warp_ab)], axis=-1).reshape(-1, 4)
+    m_ba = np.concatenate([np.asarray(warp_ba), grid], axis=-1).reshape(-1, 4)
+    matches = np.concatenate([m_ab, m_ba], axis=0)
+    cert = np.concatenate(
+        [np.asarray(cert_ab).reshape(-1), np.asarray(cert_ba).reshape(-1)]
+    )
+    cert = 1.0 / (1.0 + np.exp(-cert))  # logits -> probs
+    # out-of-range warps carry no mass; coordinates clamp to the image
+    # (reference matcher.py:830-833)
+    oob = (np.abs(matches[:, 2:]) > 1).any(axis=1) | (np.abs(matches[:, :2]) > 1).any(axis=1)
+    cert[oob] = 0.0
+    matches = np.clip(matches, -1.0, 1.0)
+    cert_s = cert.copy()
+    cert_s[cert_s > sample_thresh] = 1.0
+    n_cand = min(4 * num, len(cert_s))
+    # gumbel top-k == multinomial without replacement
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    g = rng.gumbel(size=len(cert_s))
+    scores = np.log(np.maximum(cert_s, 1e-12)) + g
+    cand = np.argpartition(-scores, n_cand - 1)[:n_cand]
+    good = matches[cand]
+    good_cert = cert_s[cand]
+    # KDE balancing
+    sub = good[rng.choice(len(good), size=min(len(good), 4000), replace=False)]
+    d2 = ((good[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+    density = np.exp(-d2 / (2 * 0.1**2)).sum(-1) * (len(good) / len(sub))
+    p = 1.0 / (density + 1.0)
+    p[density < 10] = 1e-7
+    g2 = rng.gumbel(size=len(p))
+    k = min(num, len(p))
+    sel = np.argpartition(-(np.log(np.maximum(p, 1e-12)) + g2), k - 1)[:k]
+    return good[sel], good_cert[sel]
+
+
+def to_pixel_coordinates(matches, H_A, W_A, H_B, W_B):
+    kA = np.stack(
+        [W_A / 2 * (matches[:, 0] + 1), H_A / 2 * (matches[:, 1] + 1)], -1
+    )
+    kB = np.stack(
+        [W_B / 2 * (matches[:, 2] + 1), H_B / 2 * (matches[:, 3] + 1)], -1
+    )
+    return kA, kB

@@ -1,0 +1,161 @@
+"""RoMa component golden tests + pipeline shape/sanity tests."""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import jax
+import jax.numpy as jnp
+
+ROMA_DIR = "/root/reference/src/deep_image_matching/thirdparty/RoMa"
+
+
+def _stub_modules():
+    for name in (
+        "torchvision", "torchvision.models", "torchvision.transforms",
+        "torchvision.transforms.functional",
+        "kornia", "kornia.geometry", "kornia.geometry.epipolar",
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    sys.modules["torchvision.transforms"].Normalize = lambda *a, **k: (lambda x: x)
+    sys.modules["torchvision.transforms"].Compose = lambda fs: (lambda x: x)
+    sys.modules["torchvision.transforms"].ToTensor = lambda *a, **k: (lambda x: x)
+    sys.modules["kornia"].geometry = sys.modules["kornia.geometry"]
+    sys.modules["torchvision.transforms"].functional = sys.modules[
+        "torchvision.transforms.functional"
+    ]
+    class _IM:
+        BICUBIC = "bicubic"
+        BILINEAR = "bilinear"
+
+    sys.modules["torchvision.transforms.functional"].InterpolationMode = _IM
+    if ROMA_DIR not in sys.path:
+        sys.path.insert(0, ROMA_DIR)
+
+
+def _load(name, path):
+    _stub_modules()
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _roma_matcher_mod():
+    _stub_modules()
+    import importlib as _il
+
+    return _il.import_module("roma.models.matcher")
+
+
+def test_cls_to_flow_refine_parity():
+    ref_utils = _load("ref_roma_utils", f"{ROMA_DIR}/roma/utils/utils.py")
+    from deep_image_matching_tpu.models.roma import cls_to_flow_refine
+
+    rng = np.random.default_rng(0)
+    B, H, W, res = 1, 6, 7, 8
+    cls = rng.normal(size=(B, res * res, H, W)).astype(np.float32)
+    ref = ref_utils.cls_to_flow_refine(torch.from_numpy(cls)).numpy()  # (B,H,W,2)? torch: permute later
+    got = np.asarray(
+        cls_to_flow_refine(jnp.asarray(cls.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_cos_kernel_parity():
+    ref_matcher = _roma_matcher_mod()
+    from deep_image_matching_tpu.models.roma import cos_kernel
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 12, 16)).astype(np.float32)
+    y = rng.normal(size=(2, 15, 16)).astype(np.float32)
+    K = ref_matcher.CosKernel(T=0.2)
+    ref = K(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+    got = np.asarray(cos_kernel(jnp.asarray(x), jnp.asarray(y), T=0.2))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_gp_posterior_parity():
+    ref_matcher = _roma_matcher_mod()
+    from deep_image_matching_tpu.models.roma import gp_posterior
+
+    torch.manual_seed(0)
+    gp = ref_matcher.GP(
+        ref_matcher.CosKernel, T=0.2, gp_dim=32, basis="fourier", no_cov=True
+    ).eval()
+    rng = np.random.default_rng(2)
+    B, C, H, W = 1, 24, 6, 8
+    f1 = rng.normal(size=(B, C, H, W)).astype(np.float32)
+    f2 = rng.normal(size=(B, C, H, W)).astype(np.float32)
+    with torch.no_grad():
+        ref = gp(torch.from_numpy(f1), torch.from_numpy(f2)).numpy()
+    params = {
+        "gp_pos_conv": {
+            "w": jnp.asarray(gp.pos_conv.weight.detach().numpy()[:, :, 0, 0].T),
+            "b": jnp.asarray(gp.pos_conv.bias.detach().numpy()),
+        }
+    }
+    got = np.asarray(
+        gp_posterior(
+            params,
+            jnp.asarray(f1.transpose(0, 2, 3, 1)),
+            jnp.asarray(f2.transpose(0, 2, 3, 1)),
+            T=0.2,
+        )
+    )
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=2e-3)
+
+
+def test_local_correlation_parity():
+    ref_lc = _load("ref_roma_lc", f"{ROMA_DIR}/roma/utils/local_correlation.py")
+    from deep_image_matching_tpu.models.roma import local_correlation, _grid
+
+    rng = np.random.default_rng(3)
+    C, H, W, r = 8, 10, 12, 2
+    f1 = rng.normal(size=(1, C, H, W)).astype(np.float32)
+    f2 = rng.normal(size=(1, C, H, W)).astype(np.float32)
+    flow = np.asarray(_grid(H, W))[None].transpose(0, 3, 1, 2).astype(np.float32)
+    flow = flow + rng.normal(scale=0.05, size=flow.shape).astype(np.float32)
+    ref = ref_lc.local_correlation(
+        torch.from_numpy(f1), torch.from_numpy(f2), local_radius=r,
+        flow=torch.from_numpy(flow),
+    ).numpy()
+    got = np.asarray(
+        local_correlation(
+            jnp.asarray(f1[0].transpose(1, 2, 0)),
+            jnp.asarray(f2[0].transpose(1, 2, 0)),
+            jnp.asarray(flow[0].transpose(1, 2, 0)),
+            r,
+        )
+    )
+    np.testing.assert_allclose(got, ref[0].transpose(1, 2, 0), atol=1e-4)
+
+
+def test_roma_pipeline_shapes():
+    from deep_image_matching_tpu.models import roma as rm
+
+    params = rm.init_params(jax.random.PRNGKey(0), dinov2_depth=1)
+    rng = np.random.default_rng(4)
+    im = rng.random((1, 112, 112, 3), dtype=np.float64).astype(np.float32)
+    wab, cab, wba, cba = rm.match_pair(
+        params, jnp.asarray(im), jnp.asarray(im), compute_dtype="float32"
+    )
+    assert wab.shape == (1, 112, 112, 2)
+    assert cab.shape == (1, 112, 112, 1)
+    matches, cert = rm.sample_matches(
+        np.asarray(wab[0]), np.asarray(cab[0]),
+        np.asarray(wba[0]), np.asarray(cba[0]),
+        jax.random.PRNGKey(0), num=500,
+    )
+    assert matches.shape[1] == 4
+    assert len(matches) <= 500 and len(matches) > 0
+    kA, kB = rm.to_pixel_coordinates(matches, 224, 224, 224, 224)
+    assert (kA >= 0).all() and (kA <= 224).all()

@@ -9,7 +9,7 @@ from deep_image_matching_tpu.config import Config, confs
 from deep_image_matching_tpu.extractors.extractor_base import extractor_loader
 from deep_image_matching_tpu.matchers.matcher_base import matcher_loader
 
-PENDING = {"rdd_sparse", "roma"}  # documented round-2 ports
+PENDING = {"rdd_sparse"}  # documented round-2 ports
 
 
 def test_every_preset_resolves(project_dir):
@@ -87,6 +87,3 @@ def test_pending_ports_raise(project_dir):
     cls = extractor_loader(E, "rdd_sparse")
     with pytest.raises(NotImplementedError):
         cls({"extractor": {"name": "rdd_sparse"}, "general": {}, "matcher": {}})
-    mcls = matcher_loader(M, "roma")
-    with pytest.raises(NotImplementedError):
-        mcls({"matcher": {"name": "roma"}, "general": {}, "extractor": {}})
