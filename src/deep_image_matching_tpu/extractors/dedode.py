@@ -35,7 +35,30 @@ def _load(kind: str):
     names = {
         "detector": ["dedode_detector_L.pth", "dedode_detector_L_v2.pth"],
         "descriptor": ["dedode_descriptor_B.pth"],
+        "descriptor_g": ["dedode_descriptor_G.pth"],
     }[kind]
+    if kind == "descriptor_g":
+        for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
+            cand = base / names[0]
+            if cand.exists():
+                import torch
+
+                dino = None
+                dcand = base / "dinov2_vitl14_pretrain.pth"
+                if dcand.exists():
+                    dino = torch.load(str(dcand), map_location="cpu")
+                _PARAMS[kind] = dd.descriptor_g_params_from_torch(
+                    torch.load(str(cand), map_location="cpu"), dino
+                )
+                if dino is None:
+                    _PARAMS[kind]["dinov2"] = __import__(
+                        "deep_image_matching_tpu.models.dinov2", fromlist=["x"]
+                    ).init_params(jax.random.PRNGKey(0), depth=2)
+                logger.info(f"Loaded DeDoDe descriptor-G from {cand}")
+                return _PARAMS[kind]
+        logger.warning("No DeDoDe descriptor-G weights; using random init.")
+        _PARAMS[kind] = dd.init_descriptor_g_params(jax.random.PRNGKey(31))
+        return _PARAMS[kind]
     for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
         for name in names:
             cand = base / name
@@ -72,10 +95,15 @@ class DeDoDeExtractor(ExtractorBase):
 
     def __init__(self, config: dict):
         super().__init__(config)
+        self.descriptor_variant = str(self.conf.get("descriptor", "B")).upper()
         self.det_params = _load("detector")
-        self.desc_params = _load("descriptor")
+        self.desc_params = _load(
+            "descriptor_g" if self.descriptor_variant == "G" else "descriptor"
+        )
         self.n_features = int(self.conf.get("n_features", 4000))
         self.resolution = int(self.conf.get("resolution", 784))
+        if self.descriptor_variant == "G" and self.resolution % 56 != 0:
+            raise ValueError("descriptor-G needs resolution divisible by 56")
 
     def _extract(self, image: np.ndarray) -> FeaturesDict:
         import jax.numpy as jnp
@@ -88,7 +116,10 @@ class DeDoDeExtractor(ExtractorBase):
         batch = jnp.asarray(work[None])
         cap = ((self.n_features + 127) // 128) * 128
         kpts, conf, valid = dd.detect(self.det_params, batch, num_keypoints=cap)
-        descs = dd.describe(self.desc_params, batch, kpts)
+        if self.descriptor_variant == "G":
+            descs = dd.describe_g(self.desc_params, batch, kpts)
+        else:
+            descs = dd.describe(self.desc_params, batch, kpts)
         kpts = np.asarray(kpts)[0]
         conf = np.asarray(conf)[0]
         valid = np.asarray(valid)[0]

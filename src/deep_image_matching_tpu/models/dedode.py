@@ -45,6 +45,12 @@ _DESCRIPTOR_REFINERS = {
     "8": (512, 512, 256 + 256), "4": (256 + 256, 256, 128 + 256),
     "2": (128 + 128, 64, 32 + 256), "1": (64 + 32, 32, 1 + 256),
 }
+# descriptor-G (``dedode_models.py:178-241``): DINOv2 tokens join at /14
+_DESCRIPTOR_G_REFINERS = {
+    "14": (1024, 768, 512 + 256), "8": (512 + 512, 512, 256 + 256),
+    "4": (256 + 256, 256, 128 + 256), "2": (128 + 128, 64, 32 + 256),
+    "1": (64 + 32, 32, 1 + 256),
+}
 
 
 def detector_params_from_torch(state_dict) -> Params:
@@ -59,6 +65,66 @@ def detector_params_from_torch(state_dict) -> Params:
 
 
 descriptor_params_from_torch = detector_params_from_torch
+
+
+def descriptor_g_params_from_torch(state_dict, dinov2_state_dict=None) -> Params:
+    """DeDoDe descriptor-G: VGG19 + frozen DINOv2 encoder, /14 refiner."""
+    from . import dinov2 as dino
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = {
+        "encoder": vgg19_params_from_torch(sd, prefix="encoder.vgg.layers"),
+        "refiners": {
+            s: refiner_params_from_torch(sd, f"decoder.layers.{s}")
+            for s in ("14", "8", "4", "2", "1")
+        },
+    }
+    if dinov2_state_dict is not None:
+        params["dinov2"] = dino.params_from_torch(dinov2_state_dict)
+    return params
+
+
+def init_descriptor_g_params(key, dinov2_depth: int = 2) -> Params:
+    from . import dinov2 as dino
+
+    return {
+        "encoder": init_vgg19_params(key),
+        "refiners": {
+            s: init_refiner_params(key, ci, h, co, n_hidden=5)
+            for s, (ci, h, co) in _DESCRIPTOR_G_REFINERS.items()
+        },
+        "dinov2": dino.init_params(key, depth=dinov2_depth),
+    }
+
+
+def describe_g(
+    params: Params,
+    images: jnp.ndarray,   # (B, H, W, 3) in [0,1], H/W multiples of 14 and 8
+    kpts: jnp.ndarray,     # (B, K, 2) pixel coords
+) -> jnp.ndarray:
+    """Descriptor-G: VGG pyramid + DINOv2 /14 tokens decoded coarse-to-fine."""
+    from . import dinov2 as dino
+
+    x = _normalize(images)
+    feats = vgg19_features(params["encoder"], x)  # [1, 2, 4, 8]
+    B, H, W, _ = images.shape
+    tokens = dino.forward_features(params["dinov2"], x)
+    f14 = tokens.reshape(B, H // 14, W // 14, -1)
+    grid = decode_multiscale(
+        feats + [f14], params["refiners"], num_prototypes=256,
+        scales=("14", "8", "4", "2", "1"),
+    )
+    _, Hg, Wg, _ = grid.shape
+
+    from ..ops.deform import bilinear_sample_zeropad
+
+    def per_image(g, k):
+        gx = (2.0 * k[:, 0] / (W - 1) - 1.0 + 1.0) * Wg / 2.0 - 0.5
+        gy = (2.0 * k[:, 1] / (H - 1) - 1.0 + 1.0) * Hg / 2.0 - 0.5
+        d = bilinear_sample_zeropad(g, jnp.stack([gx, gy], -1))
+        return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+
+    return jax.vmap(per_image)(grid, kpts)
 
 
 def init_detector_params(key) -> Params:

@@ -163,13 +163,15 @@ def decode_multiscale(
     refiners: Dict[str, Params],
     num_prototypes: int,
     logits_interp: str = "bilinear",
+    scales=("8", "4", "2", "1"),
 ) -> jnp.ndarray:
-    """Coarse-to-fine decoding (scales 8 -> 1): refiner output splits into
-    (prototypes, context); both are upsampled to the next finer scale
-    (half-pixel convention, like torch align_corners=False)."""
+    """Coarse-to-fine decoding: refiner output splits into (prototypes,
+    context); both are upsampled to the next finer scale (half-pixel
+    convention, like torch align_corners=False). ``feats`` is ordered
+    fine -> coarse and must have len(scales) entries."""
     out = None
     context = None
-    scales = ["8", "4", "2", "1"]
+    scales = list(scales)
     for idx, (fmap, scale) in enumerate(zip(reversed(feats), scales)):
         inp = fmap if context is None else jnp.concatenate([fmap, context], axis=-1)
         stuff = refiner_forward(inp, refiners[scale])

@@ -107,6 +107,28 @@ def extract_patches(
     return flat[idx.reshape(-1)].reshape(*idx.shape, C)
 
 
+def resize_bilinear_align(x: jnp.ndarray, size) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, size[0], size[1], C) bilinear, align_corners=True."""
+
+    def axis_weights(n_in: int, n_out: int):
+        if n_in == 1:
+            lo = jnp.zeros(n_out, jnp.int32)
+            return lo, lo, jnp.ones(n_out, jnp.float32)
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        w_hi = pos - lo
+        return lo, hi, 1.0 - w_hi
+
+    B, H, W, C = x.shape
+    Ho, Wo = size
+    lo, hi, w_lo = axis_weights(H, Ho)
+    x = x[:, lo] * w_lo[None, :, None, None] + x[:, hi] * (1 - w_lo)[None, :, None, None]
+    lo, hi, w_lo = axis_weights(W, Wo)
+    x = x[:, :, lo] * w_lo[None, None, :, None] + x[:, :, hi] * (1 - w_lo)[None, None, :, None]
+    return x
+
+
 def upsample_bilinear_align(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H*f, W*f, C) bilinear with align_corners=True."""
 

@@ -9,12 +9,8 @@ from deep_image_matching_tpu.config import Config, confs
 from deep_image_matching_tpu.extractors.extractor_base import extractor_loader
 from deep_image_matching_tpu.matchers.matcher_base import matcher_loader
 
-PENDING = {"rdd_sparse"}  # documented round-2 ports
-
-
 def test_every_preset_resolves(project_dir):
-    """All 19 preset names must resolve to loadable classes; pending ports
-    must raise their documented NotImplementedError at construction."""
+    """All 19 preset names must resolve to loadable classes."""
     for name, preset in confs.items():
         cfg = Config(
             args={
@@ -83,7 +79,3 @@ def test_hardnet_converter_shapes():
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-4)
 
 
-def test_pending_ports_raise(project_dir):
-    cls = extractor_loader(E, "rdd_sparse")
-    with pytest.raises(NotImplementedError):
-        cls({"extractor": {"name": "rdd_sparse"}, "general": {}, "matcher": {}})
