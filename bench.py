@@ -71,6 +71,32 @@ def main():
         best = min(best, (time.time() - t0 - rtt) / R)
     pairs_per_sec = B / best
     p50_ms = best / B * 1000.0
+
+    # secondary: SuperPoint extraction throughput (stderr only)
+    try:
+        from deep_image_matching_tpu.models import superpoint as sp
+
+        sp_params = sp.init_params(jax.random.PRNGKey(2))
+        imgs = jax.random.uniform(jax.random.PRNGKey(3), (8, 1024, 1024, 1))
+        vhw = jnp.tile(jnp.array([[1024, 1024]], jnp.int32), (8, 1))
+
+        def sp_call():
+            return sp.extract(sp_params, imgs, vhw, max_keypoints=2048)
+
+        float(jnp.sum(sp_call()["scores"]))  # compile
+        t0 = time.time()
+        out = None
+        for _ in range(5):
+            out = sp_call()
+        float(jnp.sum(out["scores"]))
+        dt = (time.time() - t0 - rtt) / 5
+        print(
+            f"superpoint extract @1024px: {dt*1000/8:.1f} ms/img "
+            f"-> {8/dt:.1f} img/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # secondary metric must not break the bench
+        print(f"extraction bench skipped: {e}", file=sys.stderr)
     print(
         f"batch={B} K={K}: {best*1000:.1f} ms/batch, "
         f"{pairs_per_sec:.1f} pairs/s, {p50_ms:.2f} ms/pair",

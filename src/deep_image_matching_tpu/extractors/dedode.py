@@ -51,9 +51,11 @@ def _load(kind: str):
                     torch.load(str(cand), map_location="cpu"), dino
                 )
                 if dino is None:
-                    _PARAMS[kind]["dinov2"] = __import__(
-                        "deep_image_matching_tpu.models.dinov2", fromlist=["x"]
-                    ).init_params(jax.random.PRNGKey(0), depth=2)
+                    from ..models import dinov2 as dino_model
+
+                    _PARAMS[kind]["dinov2"] = dino_model.init_params(
+                        jax.random.PRNGKey(0), depth=2
+                    )
                 logger.info(f"Loaded DeDoDe descriptor-G from {cand}")
                 return _PARAMS[kind]
         logger.warning("No DeDoDe descriptor-G weights; using random init.")

@@ -58,9 +58,11 @@ def load_params():
                     )
                 _PARAMS = roma_model.params_from_torch(sd, dino)
                 if dino is None:
-                    _PARAMS["dinov2"] = __import__(
-                        "deep_image_matching_tpu.models.dinov2", fromlist=["x"]
-                    ).init_params(jax.random.PRNGKey(0), depth=2)
+                    from ..models import dinov2 as dino_model
+
+                    _PARAMS["dinov2"] = dino_model.init_params(
+                        jax.random.PRNGKey(0), depth=2
+                    )
                 logger.info(f"Loaded RoMa weights from {cand}")
                 return _PARAMS
     logger.warning(
