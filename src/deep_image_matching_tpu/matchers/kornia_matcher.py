@@ -15,7 +15,7 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.nn_match import nn_match, nn_match_batch
+from ..ops.nn_match import nn_match, nn_match_auto
 from .matcher_base import BatchedMatcher
 
 
@@ -28,7 +28,7 @@ class NNMatcher(BatchedMatcher):
     def _match_batch_arrays(
         self, batch0: Dict[str, np.ndarray], batch1: Dict[str, np.ndarray]
     ) -> Tuple[np.ndarray, np.ndarray]:
-        matches0, valid = nn_match_batch(
+        matches0, valid = nn_match_auto(
             jnp.asarray(batch0["descriptors"]),
             jnp.asarray(batch1["descriptors"]),
             jnp.asarray(batch0["mask"]),
