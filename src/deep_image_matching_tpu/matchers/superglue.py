@@ -74,5 +74,6 @@ class SuperGlueMatcher(BatchedMatcher):
             sinkhorn_iterations=self.sinkhorn_iterations,
             match_threshold=self.match_threshold,
             compute_dtype=str(self.tpu.get("dtype", "bfloat16")),
+            attn_impl="flash" if jax.default_backend() != "cpu" else "xla",
         )
         return np.asarray(out["matches0"]), np.asarray(out["valid0"])

@@ -166,7 +166,7 @@ def _kenc(params, kpts_n, scores):
     return x
 
 
-def _mha(x, source, key_mask, p, num_heads):
+def _mha(x, source, q_mask, key_mask, p, num_heads, attn_impl="xla"):
     """Multi-head attention: x queries attend to source (B, N, D)."""
     B, Nq, D = x.shape
     hd = D // num_heads
@@ -179,19 +179,17 @@ def _mha(x, source, key_mask, p, num_heads):
     q = heads(_linear(x, p["q"]))
     k = heads(_linear(source, p["k"]))
     v = heads(_linear(source, p["v"]))
-    sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
-    sim = sim / hd**0.5
-    sim = jnp.where(key_mask[:, None, None, :], sim, _NEG)
-    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
+    from ..ops.attention import fused_attention
+
+    out = fused_attention(q, k, v, q_mask, key_mask, hd**-0.5, impl=attn_impl)
     # back to interleaved channel layout: (B, N, head_dim, heads) -> (B, N, D)
     out = out.astype(x.dtype).transpose(0, 2, 3, 1).reshape(B, Nq, D)
     return _linear(out, p["merge"])
 
 
-def _prop(x, source, key_mask, p, num_heads):
+def _prop(x, source, q_mask, key_mask, p, num_heads, attn_impl="xla"):
     """x + MLP([x, attn_message]) (AttentionalPropagation)."""
-    msg = _mha(x, source, key_mask, p, num_heads)
+    msg = _mha(x, source, q_mask, key_mask, p, num_heads, attn_impl)
     h = _linear(jnp.concatenate([x, msg], axis=-1), p["mlp1"])
     h = jax.nn.relu(h)
     return x + _linear(h, p["mlp2"])
@@ -277,6 +275,7 @@ def forward_impl(
     sinkhorn_iterations: int = 100,
     match_threshold: float = 0.2,
     compute_dtype: str = "float32",
+    attn_impl: str = "xla",
 ):
     mask0 = mask0.astype(bool)
     mask1 = mask1.astype(bool)
@@ -295,10 +294,10 @@ def forward_impl(
 
     def body(carry, block):
         d0, d1 = carry
-        d0 = _prop(d0, d0, mask0, block["self"], num_heads)
-        d1 = _prop(d1, d1, mask1, block["self"], num_heads)
-        d0n = _prop(d0, d1, mask1, block["cross"], num_heads)
-        d1n = _prop(d1, d0, mask0, block["cross"], num_heads)
+        d0 = _prop(d0, d0, mask0, mask0, block["self"], num_heads, attn_impl)
+        d1 = _prop(d1, d1, mask1, mask1, block["self"], num_heads, attn_impl)
+        d0n = _prop(d0, d1, mask0, mask1, block["cross"], num_heads, attn_impl)
+        d1n = _prop(d1, d0, mask1, mask0, block["cross"], num_heads, attn_impl)
         return (d0n, d1n), None
 
     (desc0, desc1), _ = jax.lax.scan(body, (desc0, desc1), params["blocks"])
@@ -323,6 +322,7 @@ def forward_impl(
 forward = jax.jit(
     forward_impl,
     static_argnames=(
-        "num_heads", "sinkhorn_iterations", "match_threshold", "compute_dtype"
+        "num_heads", "sinkhorn_iterations", "match_threshold", "compute_dtype",
+        "attn_impl",
     ),
 )
