@@ -43,6 +43,7 @@ def compute_global_descriptors(
     batch_all = np.stack(imgs)
 
     netvlad_params = _load_netvlad() if retrieval == "netvlad" else None
+    cosplace_params = _load_cosplace() if retrieval == "cosplace" else None
     descs = []
     for s in range(0, len(batch_all), batch_size):
         chunk = jnp.asarray(batch_all[s : s + batch_size])
@@ -53,10 +54,36 @@ def compute_global_descriptors(
                 netvlad_params["centers"], netvlad_params["assign_w"],
                 netvlad_params.get("pca_w"), netvlad_params.get("pca_b"),
             )
+        elif cosplace_params is not None:
+            from .models.vgg_refiner import IMAGENET_MEAN, IMAGENET_STD
+
+            d = R.cosplace_descriptor(
+                cosplace_params, (chunk - IMAGENET_MEAN) / IMAGENET_STD
+            )
         else:
             d = R.tiny_descriptor(chunk)
         descs.append(np.asarray(d))
     return np.concatenate(descs, axis=0)
+
+
+def _load_cosplace():
+    wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
+    for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
+        for name in ("cosplace_resnet18.pth", "cosplace.pth"):
+            cand = base / name
+            if cand.exists():
+                import torch
+
+                from .models.retrieval import cosplace_params_from_torch
+
+                logger.info(f"Loaded CosPlace weights from {cand}")
+                ckpt = torch.load(str(cand), map_location="cpu")
+                return cosplace_params_from_torch(ckpt.get("state_dict", ckpt))
+    logger.warning(
+        "No CosPlace checkpoint (DIM_TPU_WEIGHTS_DIR/cosplace_resnet18.pth); "
+        "falling back to the weight-free 'tiny' global descriptor."
+    )
+    return None
 
 
 def _load_netvlad():
@@ -84,9 +111,9 @@ def retrieval_pairs(
     names = image_list.img_names
     if retrieval not in ("netvlad", "openibl", "cosplace", "dir"):
         raise ValueError(f"Unknown retrieval method '{retrieval}'")
-    if retrieval != "netvlad":
+    if retrieval in ("openibl", "dir"):
         logger.warning(
-            f"'{retrieval}' pretrained weights are not available offline; "
+            f"'{retrieval}' backbone port pending; "
             "using the weight-free descriptor."
         )
         retrieval = "tiny"

@@ -114,6 +114,98 @@ def netvlad_aggregate(
     return v
 
 
+# ---------------------------------------------------------------------------
+# CosPlace: ResNet-18 backbone (BNs folded) + GeM pooling + linear projection
+# (Berton et al., CVPR'22; hloc wraps the official torchhub model)
+# ---------------------------------------------------------------------------
+
+_R18_STAGES = [(2, 64, 1), (2, 128, 2), (2, 256, 2), (2, 512, 2)]
+
+
+def cosplace_params_from_torch(state_dict) -> Params:
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace("backbone.", "", 1) if k.startswith("backbone.") else k
+        sd[k] = np.asarray(v)
+
+    def folded(conv_key, bn_key):
+        w = sd[f"{conv_key}.weight"].transpose(2, 3, 1, 0)
+        g, beta = sd[f"{bn_key}.weight"], sd[f"{bn_key}.bias"]
+        mean, var = sd[f"{bn_key}.running_mean"], sd[f"{bn_key}.running_var"]
+        s = g / np.sqrt(var + 1e-5)
+        return {
+            "w": jnp.asarray(w * s[None, None, None, :], jnp.float32),
+            "b": jnp.asarray(beta - mean * s, jnp.float32),
+        }
+
+    params: Params = {
+        "stem": folded("conv1", "bn1"),
+        "stages": [],
+    }
+    for si, (n_blocks, _c, _s) in enumerate(_R18_STAGES):
+        blocks = []
+        for bi in range(n_blocks):
+            p = f"layer{si + 1}.{bi}"
+            blk = {
+                "conv1": folded(f"{p}.conv1", f"{p}.bn1"),
+                "conv2": folded(f"{p}.conv2", f"{p}.bn2"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                blk["down"] = folded(f"{p}.downsample.0", f"{p}.downsample.1")
+            blocks.append(blk)
+        params["stages"].append(blocks)
+    # aggregation: GeM p + linear (official CosPlace: aggregation.1.p,
+    # aggregation.2.weight/bias or fc.weight)
+    for key in ("aggregation.3", "aggregation.2", "fc"):
+        if f"{key}.weight" in sd:
+            params["proj"] = {
+                "w": jnp.asarray(sd[f"{key}.weight"].T, jnp.float32),
+                "b": jnp.asarray(
+                    sd.get(f"{key}.bias", np.zeros(sd[f"{key}.weight"].shape[0])),
+                    jnp.float32,
+                ),
+            }
+            break
+    for key in ("aggregation.1.p", "aggregation.0.p", "gem.p"):
+        if key in sd:
+            params["gem_p"] = jnp.asarray(sd[key].reshape(()), jnp.float32)
+            break
+    params.setdefault("gem_p", jnp.asarray(3.0, jnp.float32))
+    return params
+
+
+def cosplace_descriptor(params: Params, images: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) ImageNet-normalized -> L2-normalized global descriptor."""
+
+    def conv(x, p, stride=1):
+        kh = p["w"].shape[0]
+        pad = (kh - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x, p["w"], (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["b"]
+
+    relu = jax.nn.relu
+    x = relu(conv(images, params["stem"], stride=2))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    for si, blocks in enumerate(params["stages"]):
+        stride = _R18_STAGES[si][2]
+        for bi, bp in enumerate(blocks):
+            s = stride if bi == 0 else 1
+            out = relu(conv(x, bp["conv1"], stride=s))
+            out = conv(out, bp["conv2"])
+            identity = conv(x, bp["down"], stride=s) if "down" in bp else x
+            x = relu(out + identity)
+    v = gem_pool(x, p=float(params["gem_p"]))
+    if "proj" in params:
+        v = v @ params["proj"]["w"] + params["proj"]["b"]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    return v
+
+
 def gem_pool(feats: jnp.ndarray, p: float = 3.0) -> jnp.ndarray:
     """Generalized-mean pooling (B, H, W, D) -> (B, D), L2-normalized."""
     x = jnp.maximum(feats, 1e-6) ** p
