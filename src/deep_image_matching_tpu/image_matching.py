@@ -148,4 +148,32 @@ class ImageMatcher:
             f"Matched {kept}/{len(pairs)} pairs passed verification "
             f"-> {match_path}"
         )
+        if self.config.general.get("verbose") and kept:
+            self._dump_debug_viz(feature_path, match_path, results)
         return match_path
+
+    def _dump_debug_viz(self, feature_path, match_path, results) -> None:
+        """Debug artifact: a side-by-side plot of the best-matched pair
+        (reference dumps keypoint/match images when debugging,
+        ``matcher_base.py:347-358``)."""
+        try:
+            from .io.h5 import get_features, get_matches
+            from .utils.image import read_image
+            from .visualization import viz_matches_cv2
+
+            (name0, name1), _ = max(results.items(), key=lambda kv: kv[1])
+            m = get_matches(match_path, name0, name1)
+            f0 = get_features(feature_path, name0)
+            f1 = get_features(feature_path, name1)
+            img0 = read_image(self.image_dir / name0, grayscale=False)[:, :, ::-1]
+            img1 = read_image(self.image_dir / name1, grayscale=False)[:, :, ::-1]
+            out = self.output_dir / "debug"
+            out.mkdir(exist_ok=True)
+            viz_matches_cv2(
+                img0, img1,
+                f0["keypoints"][m[:, 0]], f1["keypoints"][m[:, 1]],
+                output_path=out / f"matches_{name0}_{name1}.jpg",
+            )
+            logger.debug(f"Debug match visualization written to {out}")
+        except Exception as e:  # viz must never break the pipeline
+            logger.debug(f"Debug viz failed: {e}")
