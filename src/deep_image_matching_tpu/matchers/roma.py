@@ -77,6 +77,8 @@ class RomaMatcher(DetectorFreeMatcher):
     default_conf = {
         "pretrained": "outdoor",
         "coarse_res": 560,
+        "upsample_res": 864,
+        "upsample_preds": True,
         "num_sampled_points": 5000,
         "sample_thresh": 0.05,
     }
@@ -87,6 +89,10 @@ class RomaMatcher(DetectorFreeMatcher):
         self.res = int(self.conf.get("coarse_res", 560))
         if self.res % 56 != 0:
             raise ValueError("coarse_res must be a multiple of 56 (14 and 8)")
+        self.upsample_res = int(self.conf.get("upsample_res", 864))
+        self.upsample_preds = bool(self.conf.get("upsample_preds", True))
+        if self.upsample_res % 8 != 0:
+            raise ValueError("upsample_res must be a multiple of 8")
         self.num_points = int(self.conf.get("num_sampled_points", 5000))
         self.sample_thresh = float(self.conf.get("sample_thresh", 0.05))
         self._key = 0
@@ -106,6 +112,16 @@ class RomaMatcher(DetectorFreeMatcher):
         warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair(
             self.params, jnp.asarray(a[None]), jnp.asarray(b[None])
         )
+        if self.upsample_preds:
+            r = self.upsample_res
+            a_hr = resize_image(imA, (r, r))
+            b_hr = resize_image(imB, (r, r))
+            scale_factor = float(np.sqrt(r * r / (self.res * self.res)))
+            warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair_upsample(
+                self.params, jnp.asarray(a_hr[None]), jnp.asarray(b_hr[None]),
+                warp_ab, cert_ab, warp_ba, cert_ba,
+                scale_factor=scale_factor,
+            )
         self._key += 1
         matches, cert = roma_model.sample_matches(
             np.asarray(warp_ab[0]), np.asarray(cert_ab[0]),

@@ -440,6 +440,29 @@ def match_pair_impl(params, imA, imB, compute_dtype="bfloat16"):
 match_pair = match_pair_impl
 
 
+@functools.partial(jax.jit, static_argnames=("scale_factor",))
+def match_pair_upsample(
+    params, imA_hr, imB_hr, flow_ab, cert_ab, flow_ba, cert_ba,
+    scale_factor: float = 1.0,
+):
+    """Second refinement pass at the upsample resolution (reference
+    ``RegressionMatcher.match`` upsample_preds path): VGG-only pyramid
+    (scales 8..1), decoding seeded by the coarse-pass warp/certainty.
+    imA_hr/imB_hr: (B, H', W', 3) with H', W' multiples of 8."""
+    B = imA_hr.shape[0]
+    both = jnp.concatenate([imA_hr, imB_hr], axis=0)
+    pyr = build_pyramid(params, both, use_dino=False)
+    f_q = pyr
+    f_s = {s: jnp.concatenate([v[B:], v[:B]], axis=0) for s, v in pyr.items()}
+    flow = jnp.concatenate([flow_ab, flow_ba], axis=0)
+    cert = jnp.concatenate([cert_ab, cert_ba], axis=0)
+    flow, cert = decode(
+        params, f_q, f_s, scales=["8", "4", "2", "1"],
+        flow=flow, certainty=cert, scale_factor=scale_factor,
+    )
+    return flow[:B], cert[:B], flow[B:], cert[B:]
+
+
 def sample_matches(
     warp_ab, cert_ab, warp_ba, cert_ba, key,
     num: int = 5000, sample_thresh: float = 0.05,
