@@ -195,7 +195,9 @@ def _prop(x, source, q_mask, key_mask, p, num_heads, attn_impl="xla"):
     return x + _linear(h, p["mlp2"])
 
 
-def masked_log_optimal_transport(scores, mask0, mask1, alpha, iters: int):
+def masked_log_optimal_transport(
+    scores, mask0, mask1, alpha, iters: int, impl: str = "xla"
+):
     """Entropic OT in log space with dustbins and *masked marginals*.
 
     Exact unpadded semantics under padding: invalid rows/cols receive zero
@@ -230,17 +232,22 @@ def masked_log_optimal_transport(scores, mask0, mask1, alpha, iters: int):
         axis=1,
     )  # (B, N+1)
 
-    def body(carry, _):
-        u, v = carry
-        u = log_mu - jax.nn.logsumexp(couplings + v[:, None, :], axis=2)
-        u = jnp.maximum(u, _NEG)  # keep -inf arithmetic finite
-        v = log_nu - jax.nn.logsumexp(couplings + u[:, :, None], axis=1)
-        v = jnp.maximum(v, _NEG)
-        return (u, v), None
+    if impl == "pallas":
+        from ..ops.pallas_sinkhorn import sinkhorn_fused
 
-    u0 = jnp.zeros_like(log_mu)
-    v0 = jnp.zeros_like(log_nu)
-    (u, v), _ = jax.lax.scan(body, (u0, v0), None, length=iters)
+        u, v = sinkhorn_fused(couplings, log_mu, log_nu, iters)
+    else:
+        def body(carry, _):
+            u, v = carry
+            u = log_mu - jax.nn.logsumexp(couplings + v[:, None, :], axis=2)
+            u = jnp.maximum(u, _NEG)  # keep -inf arithmetic finite
+            v = log_nu - jax.nn.logsumexp(couplings + u[:, :, None], axis=1)
+            v = jnp.maximum(v, _NEG)
+            return (u, v), None
+
+        u0 = jnp.zeros_like(log_mu)
+        v0 = jnp.zeros_like(log_nu)
+        (u, v), _ = jax.lax.scan(body, (u0, v0), None, length=iters)
     Z = couplings + u[:, :, None] + v[:, None, :]
     return Z - norm[:, None, None]
 
@@ -310,6 +317,7 @@ def forward_impl(
     ot = masked_log_optimal_transport(
         sim, mask0, mask1, params["bin_score"].astype(jnp.float32),
         sinkhorn_iterations,
+        impl="pallas" if attn_impl == "flash" else "xla",
     )
     matches0, mscores0, valid0 = _filter(ot, mask0, mask1, match_threshold)
     return {
