@@ -28,7 +28,8 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
     attn = "flash" if on_tpu else "xla"
-    print(f"device: {dev} attn={attn}", file=sys.stderr)
+    assign = "fused" if on_tpu else "dense"
+    print(f"device: {dev} attn={attn} assignment={assign}", file=sys.stderr)
 
     B, K, D = 32, 2048, 256
     params = lg.init_params(jax.random.PRNGKey(0), n_layers=9)
@@ -41,7 +42,7 @@ def main():
     def call():
         return lg.forward(
             params, kpts, kpts, desc, desc, mask, mask, size, size,
-            compute_dtype="bfloat16", attn_impl=attn,
+            compute_dtype="bfloat16", attn_impl=attn, assignment_impl=assign,
         )
 
     def fetch(out):

@@ -78,5 +78,6 @@ class LighterGlueMatcher(BatchedMatcher):
             filter_threshold=self.filter_threshold,
             compute_dtype=str(self.tpu.get("dtype", "bfloat16")),
             attn_impl=lg.default_attn_impl(),
+            assignment_impl=lg.default_assignment_impl(),
         )
         return np.asarray(out["matches0"]), np.asarray(out["valid0"])

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..models.lightglue import (
     LightGlueRunner,
+    default_assignment_impl,
     default_attn_impl,
     forward,
     load_default_params,
@@ -56,6 +57,9 @@ class LightGlueMatcher(BatchedMatcher):
             filter_threshold=self.filter_threshold,
             compute_dtype=str(self.tpu.get("dtype", "bfloat16")),
             attn_impl=self.tpu.get("attn_impl", default_attn_impl()),
+            assignment_impl=self.tpu.get(
+                "assignment_impl", default_assignment_impl()
+            ),
         )
         matches0 = np.asarray(out["matches0"])
         valid = np.asarray(out["valid0"])

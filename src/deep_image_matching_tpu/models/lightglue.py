@@ -343,11 +343,17 @@ def forward_impl(
     depth: Optional[int] = None,
     compute_dtype: str = "float32",
     attn_impl: str = "xla",
+    assignment_impl: str = "dense",
 ) -> Dict[str, jnp.ndarray]:
     """Batched LightGlue matching. ``depth`` truncates the scan (compiled
     shallow variants replace per-pair early exit). ``compute_dtype``
     'bfloat16' runs the transformer in bf16 with f32 accumulation/softmax —
-    the MXU-native mode on TPU; assignment scores stay f32."""
+    the MXU-native mode on TPU; assignment scores stay f32.
+
+    ``assignment_impl='fused'`` computes the dual-softmax match filtering
+    via streaming Pallas kernels (``ops/pallas_assignment.py``) that never
+    materialize the (B, M, N) score matrix — required headroom for
+    K >= 8192 where the dense scores alone are multi-GB."""
     mask0 = mask0.astype(bool)
     mask1 = mask1.astype(bool)
     cdt = jnp.dtype(compute_dtype)
@@ -387,10 +393,23 @@ def forward_impl(
     (desc0, desc1), _ = jax.lax.scan(body, (desc0, desc1), layers)
 
     last = jax.tree.map(lambda x: x[-1], params["layers"] if depth is None else layers)
-    scores = _log_assignment(desc0, desc1, mask0, mask1, last["assign"])
-    matches0, mscores0, valid0 = filter_matches_static(
-        scores, mask0, mask1, filter_threshold
-    )
+    if assignment_impl == "fused":
+        from ..ops.pallas_assignment import filter_matches_fused
+
+        p = last["assign"]
+        d = desc0.shape[-1]
+        md0 = _linear(desc0, p["final"]) / d**0.25
+        md1 = _linear(desc1, p["final"]) / d**0.25
+        z0 = _linear(desc0, p["match"])[..., 0].astype(jnp.float32)
+        z1 = _linear(desc1, p["match"])[..., 0].astype(jnp.float32)
+        matches0, mscores0, valid0 = filter_matches_fused(
+            md0, md1, z0, z1, mask0, mask1, filter_threshold
+        )
+    else:
+        scores = _log_assignment(desc0, desc1, mask0, mask1, last["assign"])
+        matches0, mscores0, valid0 = filter_matches_static(
+            scores, mask0, mask1, filter_threshold
+        )
     return {
         "matches0": matches0,
         "matching_scores0": mscores0,
@@ -401,7 +420,8 @@ def forward_impl(
 forward = jax.jit(
     forward_impl,
     static_argnames=(
-        "num_heads", "filter_threshold", "depth", "compute_dtype", "attn_impl"
+        "num_heads", "filter_threshold", "depth", "compute_dtype", "attn_impl",
+        "assignment_impl",
     ),
 )
 
@@ -412,6 +432,17 @@ def default_attn_impl() -> str:
         return "flash" if jax.default_backend() not in ("cpu",) else "xla"
     except Exception:
         return "xla"
+
+
+def default_assignment_impl() -> str:
+    """'fused' (streaming Pallas assignment) on TPU, 'dense' elsewhere.
+
+    Measured v5e: 1.3x at K=2048/B=32, 2x at K=4096, 23x at K=8192 where
+    the dense (B, K, K) score temporaries saturate HBM."""
+    try:
+        return "fused" if jax.default_backend() not in ("cpu",) else "dense"
+    except Exception:
+        return "dense"
 
 
 # ---------------------------------------------------------------------------
@@ -536,5 +567,7 @@ class LightGlueRunner:
             jnp.asarray(s0), jnp.asarray(s1),
             filter_threshold=self.filter_threshold,
             depth=self.depth,
+            attn_impl=default_attn_impl(),
+            assignment_impl=default_assignment_impl(),
         )
         return out, cap

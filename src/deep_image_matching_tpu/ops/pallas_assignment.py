@@ -1,0 +1,170 @@
+"""Fused dual-softmax assignment for LightGlue as Pallas TPU kernels.
+
+The dense assignment (``models/lightglue._log_assignment`` +
+``filter_matches_static``) materializes the (B, M, N) similarity matrix and
+several same-sized temporaries — 2.1 GB at B=32, K=2048 and an outright HBM
+ceiling at K >= 8192 (8.6 GB for the scores alone). These kernels recompute
+similarity *tiles* from the projected descriptors (one extra MXU matmul per
+pass, ~1 ms total) and keep all running statistics on-chip, so nothing
+(M, N)-shaped ever exists in memory:
+
+- pass 1/2: streaming logsumexp of sim over columns / rows;
+- pass 3/4: streaming (max, argmax) of the biased similarity over
+  columns / rows, which — after adding the row-constant terms — equals the
+  arg/max of the full dual-softmax score matrix.
+
+The outputs feed the same mutual-NN + threshold filtering as the dense path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _lse_dot_kernel(a_ref, b_ref, bias_ref, out_ref, acc_max, acc_sum):
+    """Streaming logsumexp_j of (a @ b^T + bias_j); grid (B, M-t, N-t)."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_max[...] = jnp.full_like(acc_max, _NEG)
+        acc_sum[...] = jnp.zeros_like(acc_sum)
+
+    sim = jnp.dot(a_ref[0], b_ref[0].T, preferred_element_type=jnp.float32)
+    sim = sim + bias_ref[0, 0, :][None, :]
+    t_max = jnp.max(sim, axis=1)
+    m_old = acc_max[...][:, 0]
+    m_new = jnp.maximum(m_old, t_max)
+    s = acc_sum[...][:, 0] * jnp.exp(m_old - m_new)
+    s = s + jnp.exp(sim - m_new[:, None]).sum(axis=1)
+    acc_max[...] = m_new[:, None]
+    acc_sum[...] = s[:, None]
+
+    @pl.when(j == nj - 1)
+    def _write():
+        out_ref[0] = (
+            acc_max[...] + jnp.log(jnp.maximum(acc_sum[...], 1e-38))
+        )
+
+
+def _argmax_dot_kernel(a_ref, b_ref, bias_ref, max_ref, arg_ref, acc_max, acc_arg):
+    """Streaming (max, argmax)_j of (a @ b^T + bias_j)."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_max[...] = jnp.full_like(acc_max, _NEG)
+        acc_arg[...] = jnp.zeros_like(acc_arg)
+
+    sim = jnp.dot(a_ref[0], b_ref[0].T, preferred_element_type=jnp.float32)
+    sim = sim + bias_ref[0, 0, :][None, :]
+    bn = sim.shape[1]
+    t_max = jnp.max(sim, axis=1)
+    t_arg = jnp.argmax(sim, axis=1).astype(jnp.int32) + j * bn
+    m_old = acc_max[...][:, 0]
+    a_old = acc_arg[...][:, 0]
+    better = t_max > m_old
+    acc_max[...] = jnp.maximum(m_old, t_max)[:, None]
+    acc_arg[...] = jnp.where(better, t_arg, a_old)[:, None]
+
+    @pl.when(j == nj - 1)
+    def _write():
+        max_ref[0] = acc_max[...]
+        arg_ref[0] = acc_arg[...]
+
+
+def _sweep(kernel, n_outs, a, b, bias, block_m=512, block_n=1024):
+    B, M, D = a.shape
+    N = b.shape[1]
+    block_m = min(block_m, M)
+    block_n = min(block_n, N)
+    out_dtypes = [jnp.float32, jnp.int32][:n_outs] if n_outs == 2 else [jnp.float32]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((B, M, 1), dt) for dt in out_dtypes],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, pl.cdiv(M, block_m), pl.cdiv(N, block_n)),
+            in_specs=[
+                pl.BlockSpec((1, block_m, D), lambda b_, i, j: (b_, i, 0)),
+                pl.BlockSpec((1, block_n, D), lambda b_, i, j: (b_, j, 0)),
+                pl.BlockSpec((1, 1, block_n), lambda b_, i, j: (b_, 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_m, 1), lambda b_, i, j: (b_, i, 0))
+                for _ in out_dtypes
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_m, 1), jnp.float32),
+                pltpu.VMEM((block_m, 1), out_dtypes[-1]),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(a, b, bias[:, None, :])
+    return [o[..., 0] for o in outs]
+
+
+@jax.jit
+def assignment_fused(
+    md0: jnp.ndarray,   # (B, M, D) final-projected descriptors / d^0.25
+    md1: jnp.ndarray,   # (B, N, D)
+    z0: jnp.ndarray,    # (B, M) matchability logits
+    z1: jnp.ndarray,    # (B, N)
+    mask0: jnp.ndarray,
+    mask1: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (max0, arg0, max1, arg1): the dual-softmax score row/col
+    maxima and argmaxima, without materializing the score matrix.
+
+    scores_ij = 2*sim_ij - lse_row_i - lse_col_j + logsig(z0_i) + logsig(z1_j)
+    where sim has one softmax per axis in the dense formulation; arg/max over
+    j drops row-constant terms.
+    """
+    md0 = md0.astype(jnp.float32)
+    md1 = md1.astype(jnp.float32)
+    neg0 = jnp.where(mask0, 0.0, _NEG)
+    neg1 = jnp.where(mask1, 0.0, _NEG)
+
+    (lse_row,) = _sweep(_lse_dot_kernel, 1, md0, md1, neg1)
+    (lse_col,) = _sweep(_lse_dot_kernel, 1, md1, md0, neg0)
+    ls0 = jax.nn.log_sigmoid(z0.astype(jnp.float32))
+    ls1 = jax.nn.log_sigmoid(z1.astype(jnp.float32))
+
+    # row pass: argmax_j (2 sim_ij - lse_col_j + ls1_j [+ -inf on invalid j])
+    bias_row = -lse_col + ls1 + neg1
+    g_max, arg0 = _sweep(_argmax_dot_kernel, 2, 2.0 * md0, md1, bias_row)
+    max0 = g_max - lse_row + ls0
+    # col pass
+    bias_col = -lse_row + ls0 + neg0
+    h_max, arg1 = _sweep(_argmax_dot_kernel, 2, 2.0 * md1, md0, bias_col)
+    max1 = h_max - lse_col + ls1
+    return max0, arg0, max1, arg1
+
+
+def filter_matches_fused(
+    md0, md1, z0, z1, mask0, mask1, threshold: float
+):
+    """Mutual-NN + threshold filtering from the fused statistics — identical
+    outputs to ``models.lightglue.filter_matches_static`` on the dense
+    scores."""
+    max0, arg0, _max1, arg1 = assignment_fused(md0, md1, z0, z1, mask0, mask1)
+    M = arg0.shape[1]
+    mutual0 = jnp.take_along_axis(arg1, jnp.clip(arg0, 0, None), axis=1) == (
+        jnp.arange(M)[None]
+    )
+    mscores0 = jnp.where(mutual0, jnp.exp(max0), 0.0)
+    valid0 = mutual0 & (mscores0 > threshold) & mask0
+    matches0 = jnp.where(valid0, arg0, -1).astype(jnp.int32)
+    return matches0, mscores0, valid0
