@@ -411,14 +411,23 @@ class Config:
         for section in cfg:
             if section not in known:
                 logger.warning(f"Ignoring unknown config section '{section}'")
+        def _enum(table, name, key):
+            try:
+                return table[str(name).lower()]
+            except KeyError:
+                raise ValueError(
+                    f"Unknown {key} '{name}' in {path}; "
+                    f"valid: {sorted(table)}"
+                ) from None
+
         general = cfg.get("general") or {}
         for k, v in general.items():
             if k == "quality":
-                v = _QUALITY_BY_NAME[str(v).lower()]
+                v = _enum(_QUALITY_BY_NAME, v, "quality")
             elif k == "tile_selection":
-                v = _TILING_BY_NAME[str(v).lower()]
+                v = _enum(_TILING_BY_NAME, v, "tile_selection")
             elif k == "geom_verification":
-                v = _GV_BY_NAME[str(v).lower()]
+                v = _enum(_GV_BY_NAME, v, "geom_verification")
             elif k == "tile_size" and isinstance(v, str):
                 v = tuple(int(x) for x in v.strip("()[] ").split(","))
             if k not in conf_general and k not in (

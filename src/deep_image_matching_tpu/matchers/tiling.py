@@ -51,6 +51,54 @@ def points_in_tiles(pts: np.ndarray, origins: np.ndarray, tile_wh) -> np.ndarray
     return (x >= x0) & (x < x0 + tw) & (y >= y0) & (y < y0 + th)
 
 
+def estimate_affine_ransac(
+    src: np.ndarray, dst: np.ndarray, iters: int = 200, thresh: float = 8.0,
+    seed: int = 0,
+) -> Optional[np.ndarray]:
+    """Least-squares 2-D affine (2x3) from point correspondences with a tiny
+    RANSAC loop (numpy-only stand-in for the reference's
+    ``cv2.estimateAffine2D``, ``matcher_base.py:1169-1243``)."""
+    n = len(src)
+    if n < 3:
+        return None
+    rng = np.random.default_rng(seed)
+    ones = np.ones((n, 1), np.float32)
+    X = np.concatenate([src.astype(np.float32), ones], 1)  # (n, 3)
+    Y = dst.astype(np.float32)
+
+    def solve(idx):
+        A, *_ = np.linalg.lstsq(X[idx], Y[idx], rcond=None)
+        return A  # (3, 2)
+
+    best_inl, best_A = None, None
+    for _ in range(iters):
+        idx = rng.choice(n, size=3, replace=False)
+        try:
+            A = solve(idx)
+        except np.linalg.LinAlgError:
+            continue
+        err = np.linalg.norm(X @ A - Y, axis=1)
+        inl = err < thresh
+        if best_inl is None or inl.sum() > best_inl.sum():
+            best_inl, best_A = inl, A
+    if best_inl is None or best_inl.sum() < 3:
+        return None
+    best_A = solve(np.nonzero(best_inl)[0])  # refit on inliers
+    return best_A.T  # (2, 3) row-vector convention: p1 = A @ [x, y, 1]
+
+
+def _rect_intersection_frac(b0: np.ndarray, rects1: np.ndarray) -> np.ndarray:
+    """Fraction of each rect in ``rects1`` (N, 4 = x0 y0 x1 y1) covered by
+    box ``b0`` (4,)."""
+    ix0 = np.maximum(b0[0], rects1[:, 0])
+    iy0 = np.maximum(b0[1], rects1[:, 1])
+    ix1 = np.minimum(b0[2], rects1[:, 2])
+    iy1 = np.minimum(b0[3], rects1[:, 3])
+    inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+    area1 = (rects1[:, 2] - rects1[:, 0]) * (rects1[:, 3] - rects1[:, 1])
+    return inter / np.maximum(area1, 1e-9)
+
+
 def select_tile_pairs(
     mode: TileSelection,
     n_tiles0: int,
@@ -72,6 +120,38 @@ def select_tile_pairs(
         if lowres_pts0 is None or len(lowres_pts0) == 0:
             logger.debug("No low-res matches; falling back to exhaustive tiles")
             return list(itertools.product(range(n_tiles0), range(n_tiles1)))
+        if mode is TileSelection.PRESELECTION_AFFINE_TRANSFORM:
+            # Reference ``matcher_base.py:1169-1335``: fit an affine to the
+            # low-res matches, project every image-0 tile rectangle into
+            # image 1, keep tile pairs whose rectangles overlap. Falls back
+            # to point-count preselection when the fit fails (``:1244-1258``).
+            A = estimate_affine_ransac(lowres_pts0, lowres_pts1)
+            if A is not None:
+                tw0, th0 = tile_wh0
+                tw1, th1 = tile_wh1
+                rects1 = np.concatenate(
+                    [origins1, origins1 + np.array([[tw1, th1]])], 1
+                ).astype(np.float32)  # (T1, 4)
+                pairs = []
+                for t0, (x0, y0) in enumerate(np.asarray(origins0, np.float32)):
+                    corners = np.array(
+                        [[x0, y0], [x0 + tw0, y0], [x0, y0 + th0],
+                         [x0 + tw0, y0 + th0]], np.float32
+                    )
+                    proj = corners @ A[:, :2].T + A[:, 2]
+                    bbox = np.array(
+                        [proj[:, 0].min(), proj[:, 1].min(),
+                         proj[:, 0].max(), proj[:, 1].max()], np.float32
+                    )
+                    frac = _rect_intersection_frac(bbox, rects1)
+                    for t1 in np.nonzero(frac > 0.05)[0]:
+                        pairs.append((int(t0), int(t1)))
+                if pairs:
+                    return pairs
+                logger.debug(
+                    "Affine tile preselection found no overlapping tiles; "
+                    "falling back to point counting"
+                )
         in0 = points_in_tiles(lowres_pts0, origins0, tile_wh0)  # (M, T0)
         in1 = points_in_tiles(lowres_pts1, origins1, tile_wh1)  # (M, T1)
         counts = in0.astype(np.int32).T @ in1.astype(np.int32)  # (T0, T1)

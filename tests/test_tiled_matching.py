@@ -35,6 +35,42 @@ def test_tile_pair_selection_math():
     assert sel == [(0, 3)]
 
 
+def test_affine_tile_preselection():
+    """PRESELECTION_AFFINE_TRANSFORM: a pure-translation mapping selects
+    exactly the translated tile pairs via projected-rectangle overlap."""
+    from deep_image_matching_tpu.constants import TileSelection
+    from deep_image_matching_tpu.matchers.tiling import (
+        estimate_affine_ransac, select_tile_pairs, tile_grid_for,
+    )
+
+    rng = np.random.default_rng(1)
+    # image 1 = image 0 shifted by (+100, 0): tile column t maps to column t+1
+    src = rng.uniform(0, 200, size=(40, 2)).astype(np.float32)
+    dst = src + np.array([100.0, 0.0], np.float32)
+    A = estimate_affine_ransac(src, dst)
+    np.testing.assert_allclose(A, [[1, 0, 100], [0, 1, 0]], atol=1e-3)
+
+    # 2x2 grids of 100x50 tiles over a 200x100 image
+    origins, twh = tile_grid_for((200, 100), (100, 50), 0)
+    sel = select_tile_pairs(
+        TileSelection.PRESELECTION_AFFINE_TRANSFORM, 4, 4,
+        lowres_pts0=src, lowres_pts1=dst,
+        origins0=origins, origins1=origins, tile_wh0=twh, tile_wh1=twh,
+    )
+    # origins order: (0,0), (100,0), (0,50), (100,50) -> tiles 0->1 and 2->3
+    assert (0, 1) in sel and (2, 3) in sel
+    assert (0, 0) not in sel and (1, 0) not in sel
+
+    # outlier contamination: RANSAC still recovers the translation
+    src_o = np.concatenate([src, rng.uniform(0, 200, (10, 2)).astype(np.float32)])
+    dst_o = np.concatenate([dst, rng.uniform(0, 200, (10, 2)).astype(np.float32)])
+    A2 = estimate_affine_ransac(src_o, dst_o)
+    np.testing.assert_allclose(A2, [[1, 0, 100], [0, 1, 0]], atol=1e-2)
+
+    # degenerate: too few points -> None -> caller falls back
+    assert estimate_affine_ransac(src[:2], dst[:2]) is None
+
+
 def test_tiled_sift_pipeline(project_dir, image_dir):
     """SIFT with grid tiling: features carry tile_idx; tiled matching
     produces verified pairs equivalent to untiled on the same data."""
