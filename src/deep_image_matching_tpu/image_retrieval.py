@@ -44,6 +44,8 @@ def compute_global_descriptors(
 
     netvlad_params = _load_netvlad() if retrieval == "netvlad" else None
     cosplace_params = _load_cosplace() if retrieval == "cosplace" else None
+    openibl_params = _load_openibl() if retrieval == "openibl" else None
+    dir_params = _load_dir() if retrieval == "dir" else None
     descs = []
     for s in range(0, len(batch_all), batch_size):
         chunk = jnp.asarray(batch_all[s : s + batch_size])
@@ -53,6 +55,18 @@ def compute_global_descriptors(
                 feats,
                 netvlad_params["centers"], netvlad_params["assign_w"],
                 netvlad_params.get("pca_w"), netvlad_params.get("pca_b"),
+            )
+        elif openibl_params is not None:
+            feats = R.vgg16_features(openibl_params, chunk)
+            d = R.netvlad_aggregate(
+                feats, openibl_params["centers"], openibl_params["assign_w"],
+                assign_b=openibl_params.get("assign_b"),
+            )
+        elif dir_params is not None:
+            from .models.vgg_refiner import IMAGENET_MEAN, IMAGENET_STD
+
+            d = R.resnet_gem_descriptor(
+                dir_params, (chunk - IMAGENET_MEAN) / IMAGENET_STD
             )
         elif cosplace_params is not None:
             from .models.vgg_refiner import IMAGENET_MEAN, IMAGENET_STD
@@ -86,6 +100,48 @@ def _load_cosplace():
     return None
 
 
+def _load_openibl():
+    wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
+    for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
+        for name in ("vgg16_netvlad.pth", "openibl.pth"):
+            cand = base / name
+            if cand.exists():
+                import torch
+
+                from .models.retrieval import openibl_params_from_torch
+
+                logger.info(f"Loaded OpenIBL weights from {cand}")
+                ckpt = torch.load(str(cand), map_location="cpu")
+                return openibl_params_from_torch(ckpt.get("state_dict", ckpt))
+    logger.warning(
+        "No OpenIBL checkpoint (DIM_TPU_WEIGHTS_DIR/vgg16_netvlad.pth); "
+        "falling back to the weight-free 'tiny' global descriptor."
+    )
+    return None
+
+
+def _load_dir():
+    wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
+    for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
+        for name in ("Resnet101-AP-GeM-LM18.pt", "dir_resnet101_gem.pth"):
+            cand = base / name
+            if cand.exists():
+                import torch
+
+                from .models.retrieval import resnet_gem_params_from_torch
+
+                logger.info(f"Loaded DIR weights from {cand}")
+                ckpt = torch.load(str(cand), map_location="cpu")
+                return resnet_gem_params_from_torch(
+                    ckpt.get("state_dict", ckpt)
+                )
+    logger.warning(
+        "No DIR checkpoint (DIM_TPU_WEIGHTS_DIR/Resnet101-AP-GeM-LM18.pt); "
+        "falling back to the weight-free 'tiny' global descriptor."
+    )
+    return None
+
+
 def _load_netvlad():
     wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
     for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
@@ -111,12 +167,6 @@ def retrieval_pairs(
     names = image_list.img_names
     if retrieval not in ("netvlad", "openibl", "cosplace", "dir"):
         raise ValueError(f"Unknown retrieval method '{retrieval}'")
-    if retrieval in ("openibl", "dir"):
-        logger.warning(
-            f"'{retrieval}' backbone port pending; "
-            "using the weight-free descriptor."
-        )
-        retrieval = "tiny"
     descs = compute_global_descriptors(image_list, retrieval)
     sim = descs @ descs.T
     np.fill_diagonal(sim, -np.inf)

@@ -92,6 +92,7 @@ def netvlad_aggregate(
     assign_w: jnp.ndarray,    # (D, K) soft-assignment projection
     pca_w: Optional[jnp.ndarray] = None,  # (K*D, out)
     pca_b: Optional[jnp.ndarray] = None,
+    assign_b: Optional[jnp.ndarray] = None,  # (K,) soft-assignment bias
 ) -> jnp.ndarray:
     """NetVLAD layer: soft-assigned residual aggregation with intra- and
     global L2 normalization (Arandjelovic et al.)."""
@@ -99,6 +100,8 @@ def netvlad_aggregate(
     x = feats.reshape(B, H * W, D)
     x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
     logits = jnp.einsum("bnd,dk->bnk", x, assign_w, preferred_element_type=jnp.float32)
+    if assign_b is not None:
+        logits = logits + assign_b[None, None, :]
     soft = jax.nn.softmax(logits, axis=-1)  # (B, N, K)
     # residual aggregation: sum_n a_nk (x_n - c_k)
     agg = jnp.einsum("bnk,bnd->bkd", soft, x, preferred_element_type=jnp.float32)
@@ -197,6 +200,130 @@ def cosplace_descriptor(params: Params, images: jnp.ndarray) -> jnp.ndarray:
             s = stride if bi == 0 else 1
             out = relu(conv(x, bp["conv1"], stride=s))
             out = conv(out, bp["conv2"])
+            identity = conv(x, bp["down"], stride=s) if "down" in bp else x
+            x = relu(out + identity)
+    v = gem_pool(x, p=float(params["gem_p"]))
+    if "proj" in params:
+        v = v @ params["proj"]["w"] + params["proj"]["b"]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    return v
+
+
+def openibl_params_from_torch(state_dict) -> Params:
+    """OpenIBL ``vgg16_netvlad`` (SFRS) hub checkpoint -> our VGG16+NetVLAD
+    params (reference: hloc ``extractors/openibl.py`` loads
+    ``yxgeee/OpenIBL vgg16_netvlad``). Layout: ``base_model.N.*`` VGG16
+    features (torchvision Sequential indices) + ``net_vlad.centroids`` (K, D)
+    and ``net_vlad.conv.weight`` (K, D, 1, 1)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    vgg_sd = {
+        k.replace("base_model.", "features."): v
+        for k, v in sd.items() if k.startswith("base_model.")
+    }
+    params = vgg16_params_from_torch(vgg_sd)
+    params["centers"] = jnp.asarray(sd["net_vlad.centroids"], jnp.float32)
+    conv_w = sd["net_vlad.conv.weight"].reshape(
+        sd["net_vlad.conv.weight"].shape[0], -1
+    )  # (K, D)
+    params["assign_w"] = jnp.asarray(conv_w.T, jnp.float32)  # (D, K)
+    if "net_vlad.conv.bias" in sd:
+        params["assign_b"] = jnp.asarray(sd["net_vlad.conv.bias"], jnp.float32)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# DIR (Deep Image Retrieval, Revaud et al.): ResNet-101 backbone (BNs
+# folded) + GeM pooling + whitening FC. Reference: hloc ``extractors/dir.py``
+# wraps naver/deep-image-retrieval "Resnet101-AP-GeM-LM18".
+# ---------------------------------------------------------------------------
+
+_R101_STAGES = [(3, 256, 1), (4, 512, 2), (23, 1024, 2), (3, 2048, 2)]
+
+
+def resnet_gem_params_from_torch(
+    state_dict, stages=None, strip_prefixes=("module.", "backbone.", "net.")
+) -> Params:
+    """torchvision-style bottleneck ResNet (conv1/bn1, layerN.M.convK/bnK,
+    downsample) + optional ``whiten``/``fc`` projection and learned GeM
+    exponent -> folded-BN JAX params."""
+    stages = stages if stages is not None else _R101_STAGES
+    sd = {}
+    for k, v in state_dict.items():
+        for p in strip_prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+        sd[k] = np.asarray(v)
+
+    def folded(conv_key, bn_key):
+        w = sd[f"{conv_key}.weight"].transpose(2, 3, 1, 0)
+        g, beta = sd[f"{bn_key}.weight"], sd[f"{bn_key}.bias"]
+        mean, var = sd[f"{bn_key}.running_mean"], sd[f"{bn_key}.running_var"]
+        s = g / np.sqrt(var + 1e-5)
+        return {
+            "w": jnp.asarray(w * s[None, None, None, :], jnp.float32),
+            "b": jnp.asarray(beta - mean * s, jnp.float32),
+        }
+
+    params: Params = {"stem": folded("conv1", "bn1"), "stages": []}
+    for si, (n_blocks, _c, _s) in enumerate(stages):
+        blocks = []
+        for bi in range(n_blocks):
+            p = f"layer{si + 1}.{bi}"
+            blk = {
+                "conv1": folded(f"{p}.conv1", f"{p}.bn1"),
+                "conv2": folded(f"{p}.conv2", f"{p}.bn2"),
+                "conv3": folded(f"{p}.conv3", f"{p}.bn3"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                blk["down"] = folded(f"{p}.downsample.0", f"{p}.downsample.1")
+            blocks.append(blk)
+        params["stages"].append(blocks)
+    for key in ("whiten", "fc", "proj"):
+        if f"{key}.weight" in sd:
+            params["proj"] = {
+                "w": jnp.asarray(sd[f"{key}.weight"].T, jnp.float32),
+                "b": jnp.asarray(
+                    sd.get(f"{key}.bias", np.zeros(sd[f"{key}.weight"].shape[0])),
+                    jnp.float32,
+                ),
+            }
+            break
+    for key in ("adpool.p", "pool.p", "gem.p", "adpooling.p"):
+        if key in sd:
+            params["gem_p"] = jnp.asarray(sd[key].reshape(()), jnp.float32)
+            break
+    params.setdefault("gem_p", jnp.asarray(3.0, jnp.float32))
+    return params
+
+
+def resnet_gem_descriptor(
+    params: Params, images: jnp.ndarray, stages=None
+) -> jnp.ndarray:
+    """(B, H, W, 3) ImageNet-normalized -> L2-normalized global descriptor
+    through a bottleneck ResNet + GeM (+ whitening if present)."""
+    stages = stages if stages is not None else _R101_STAGES
+
+    def conv(x, p, stride=1):
+        kh = p["w"].shape[0]
+        pad = (kh - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x, p["w"], (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["b"]
+
+    relu = jax.nn.relu
+    x = relu(conv(images, params["stem"], stride=2))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    for si, blocks in enumerate(params["stages"]):
+        stride = stages[si][2]
+        for bi, bp in enumerate(blocks):
+            s = stride if bi == 0 else 1
+            out = relu(conv(x, bp["conv1"]))
+            out = relu(conv(out, bp["conv2"], stride=s))
+            out = conv(out, bp["conv3"])
             identity = conv(x, bp["down"], stride=s) if "down" in bp else x
             x = relu(out + identity)
     v = gem_pool(x, p=float(params["gem_p"]))
