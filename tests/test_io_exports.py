@@ -117,6 +117,34 @@ def test_micmac_export(toy_project, tmp_path):
     assert (homol / f"Pastis{names[1]}" / f"{names[0]}.txt").exists()
 
 
+def test_micmac_roundtrip(toy_project, tmp_path):
+    """Homol export -> micmac_to_h5 import recovers the same tie-point
+    coordinates per pair (the reference ships this importer as a stub)."""
+    from deep_image_matching_tpu.io.h5_to_micmac import (
+        export_to_micmac, get_matched_coords,
+    )
+    from deep_image_matching_tpu.io.micmac_to_h5 import micmac_to_h5
+
+    names, feature_path, match_path, image_dir = toy_project
+    out = export_to_micmac(image_dir, feature_path, match_path, tmp_path / "mm")
+    f2 = tmp_path / "back_features.h5"
+    m2 = tmp_path / "back_matches.h5"
+    micmac_to_h5(out / "Homol", f2, m2)
+
+    with h5py.File(m2) as fd:
+        pairs = [(a, b) for a in fd for b in fd[a]]
+    assert len(pairs) == 2
+    for a, b in pairs:
+        orig0, orig1 = get_matched_coords(feature_path, match_path, a, b)
+        back0, back1 = get_matched_coords(f2, m2, a, b)
+        # same tie points, up to the 1e-6 text precision and row order
+        o = np.concatenate([orig0, orig1], 1)
+        r = np.concatenate([back0, back1], 1)
+        o = o[np.lexsort(o.T[::-1])]
+        r = r[np.lexsort(r.T[::-1])]
+        np.testing.assert_allclose(r, o, atol=1e-4)
+
+
 def test_colmap_model_roundtrip(tmp_path):
     from deep_image_matching_tpu.io.colmap_read_write_model import (
         Camera, Image, Point3D, read_model, write_model,
