@@ -28,7 +28,18 @@ CONVERTERS = {
     "dedode_descriptor_B.pth": ("deep_image_matching_tpu.models.dedode", "descriptor_params_from_torch"),
     "RDD-v2.pth": ("deep_image_matching_tpu.models.rdd", "params_from_torch"),
     "ripe_weights.pth": ("deep_image_matching_tpu.models.ripe", "params_from_torch"),
+    "vgg16_netvlad.pth": ("deep_image_matching_tpu.models.retrieval", "openibl_params_from_torch"),
+    "Resnet101-AP-GeM-LM18.pt": ("deep_image_matching_tpu.models.retrieval", "resnet_gem_params_from_torch"),
+    "se2loftr_8rot_exported.pth": ("deep_image_matching_tpu.models.se2loftr", "params_from_exported_torch"),
 }
+
+# SE2-LoFTR note: the published 8rot.ckpt stores e2cnn *basis* parameters.
+# Export it once on any machine with e2cnn installed:
+#     from src.loftr import LoFTR  # the se2loftr repo
+#     model = LoFTR(config); model.load_state_dict(ckpt["state_dict"])
+#     exported = model.eval().export()  # e2cnn modules -> plain Conv2d/BN
+#     torch.save(exported.state_dict(), "se2loftr_8rot_exported.pth")
+# The exported plain-conv form is mathematically identical at inference.
 
 
 def main():

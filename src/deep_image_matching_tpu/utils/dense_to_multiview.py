@@ -32,6 +32,13 @@ def dense_to_multiview(
     the COLMAP database. Returns (new_feature_path, new_match_path)."""
     feature_path = Path(feature_path)
     match_path = Path(match_path)
+    if not match_path.exists():
+        # zero pairs survived verification: nothing to merge
+        logger.warning(
+            f"{match_path} does not exist (no verified pairs); "
+            "skipping multiview merge."
+        )
+        return feature_path, match_path
     # own subdir: keeps export_to_colmap from picking up the original
     # raw_matches.h5 (whose indices don't apply to the merged keypoints)
     out_dir = feature_path.parent / "multiview"

@@ -1,0 +1,160 @@
+"""SE2-LoFTR: exported-form backbone parity + full match smoke.
+
+The torch reference below is the e2cnn-``export()``-ed form of
+``E2_ResNetFPN_8_2`` (reference resnet_e2.py:50-174): plain Conv2d/BatchNorm2d
+with the same attribute names and wiring, which is what our converter
+consumes."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+C1, C2, C3 = 32, 48, 64  # scaled-down field channels (multiples of 8)
+
+
+class _Block(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout)
+            )
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        if self.downsample is not None:
+            x = self.downsample(x)
+        return F.relu(x + y)
+
+
+class _E2BackboneExported(nn.Module):
+    def __init__(self, triv_coarse=64, triv_fine=32):
+        super().__init__()
+        self.conv1 = nn.Conv2d(1, C1, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(C1)
+        self.layer1 = nn.Sequential(_Block(C1, C1), _Block(C1, C1))
+        self.layer2 = nn.Sequential(_Block(C1, C2, 2), _Block(C2, C2))
+        self.layer3 = nn.Sequential(_Block(C2, C3, 2), _Block(C3, C3))
+        self.layer3_outconv = nn.Conv2d(C3, C3, 1, bias=False)
+        self.layer3triv = nn.Conv2d(C3, triv_coarse, 3, 1, 1, bias=False)
+        self.layer2_outconv = nn.Conv2d(C2, C3, 1, bias=False)
+        self.layer2_outconv2 = nn.Sequential(
+            nn.Conv2d(C3, C3, 3, 1, 1, bias=False), nn.BatchNorm2d(C3),
+            nn.ReLU(), nn.Conv2d(C3, C2, 3, 1, 1, bias=False),
+        )
+        self.layer1_outconv = nn.Conv2d(C1, C2, 1, bias=False)
+        self.layer1_outconv2 = nn.Sequential(
+            nn.Conv2d(C2, C2, 3, 1, 1, bias=False), nn.BatchNorm2d(C2),
+            nn.ReLU(), nn.Conv2d(C2, triv_fine, 3, 1, 1, bias=False),
+        )
+
+    def forward(self, x):
+        x0 = F.relu(self.bn1(self.conv1(x)))
+        x1 = self.layer1(x0)
+        x2 = self.layer2(x1)
+        x3 = self.layer3(x2)
+        x3_out = self.layer3_outconv(x3)
+        x3_up = F.interpolate(x3_out, scale_factor=2.0, mode="bilinear",
+                              align_corners=True)
+        x2_out = self.layer2_outconv(x2)
+        x2_out = self.layer2_outconv2(x2_out + x3_up)
+        x2_up = F.interpolate(x2_out, scale_factor=2.0, mode="bilinear",
+                              align_corners=True)
+        x1_out = self.layer1_outconv(x1)
+        x1_out = self.layer1_outconv2(x1_out + x2_up)
+        return self.layer3triv(x3_out), x1_out
+
+
+def _randomize(net, rng):
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, nn.Conv2d):
+                m.weight.copy_(torch.tensor(
+                    rng.normal(0, 1.0 / np.sqrt(np.prod(m.weight.shape[1:])),
+                               m.weight.shape), dtype=torch.float32))
+            elif isinstance(m, nn.BatchNorm2d):
+                m.weight.copy_(torch.tensor(rng.uniform(0.5, 1.5, m.weight.shape), dtype=torch.float32))
+                m.bias.copy_(torch.tensor(rng.normal(0, 0.1, m.bias.shape), dtype=torch.float32))
+                m.running_mean.copy_(torch.tensor(rng.normal(0, 0.1, m.running_mean.shape), dtype=torch.float32))
+                m.running_var.copy_(torch.tensor(rng.uniform(0.5, 1.5, m.running_var.shape), dtype=torch.float32))
+
+
+def test_se2_backbone_converter_parity():
+    from deep_image_matching_tpu.models import se2loftr
+
+    rng = np.random.default_rng(0)
+    net = _E2BackboneExported().eval()
+    _randomize(net, rng)
+
+    x = rng.normal(0, 1, (1, 1, 64, 96)).astype(np.float32)
+    with torch.no_grad():
+        ref_c, ref_f = (t.numpy() for t in net(torch.tensor(x)))
+
+    sd = {f"backbone.{k}": v for k, v in net.state_dict().items()}
+    # minimal transformer tensors so the shared converter path runs
+    import deep_image_matching_tpu.models.loftr as loftr
+
+    base = loftr.init_params(jax.random.PRNGKey(0))
+    params = {"backbone": None, "coarse": base["coarse"],
+              "fine_pre": base["fine_pre"], "fine": base["fine"]}
+    # convert only the backbone through the real converter (build a full sd)
+    full = dict(sd)
+    for prefix, d, dffn in [("loftr_coarse", 256, 256), ("loftr_fine", 128, 128)]:
+        n = 8 if prefix == "loftr_coarse" else 2
+        for i in range(n):
+            p = f"{prefix}.layers.{i}"
+            for name, shape in [("q_proj", (d, d)), ("k_proj", (d, d)),
+                                ("v_proj", (d, d)), ("merge", (d, d)),
+                                ("mlp.0", (2 * d, 2 * d)), ("mlp.2", (d, 2 * d))]:
+                full[f"{p}.{name}.weight"] = np.zeros(shape, np.float32)
+            for name in ("norm1", "norm2"):
+                full[f"{p}.{name}.weight"] = np.ones((d,), np.float32)
+                full[f"{p}.{name}.bias"] = np.zeros((d,), np.float32)
+    full["fine_preprocess.down_proj.weight"] = np.zeros((128, 256), np.float32)
+    full["fine_preprocess.down_proj.bias"] = np.zeros((128,), np.float32)
+    full["fine_preprocess.merge_feat.weight"] = np.zeros((128, 256), np.float32)
+    full["fine_preprocess.merge_feat.bias"] = np.zeros((128,), np.float32)
+
+    conv = se2loftr.params_from_exported_torch(full)
+    got_c, got_f = se2loftr.backbone_forward(
+        conv, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_c), ref_c.transpose(0, 2, 3, 1), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_f), ref_f.transpose(0, 2, 3, 1), atol=2e-4
+    )
+
+
+def test_se2_match_pair_smoke():
+    """Full SE2-LoFTR forward on a synthetic translated pair produces
+    finite, in-bounds matches."""
+    from deep_image_matching_tpu.models import se2loftr
+
+    params = se2loftr.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0, 1, (80, 112)).astype(np.float32)
+    img0 = base[:64, :96][None, :, :, None]
+    img1 = base[8:72, 8:104][None, :, :, None]
+    out = se2loftr.match_pair_impl(
+        params, jnp.asarray(img0), jnp.asarray(img1),
+        max_matches=64, threshold=0.0,
+    )
+    k0 = np.asarray(out["keypoints0"])
+    mask = np.asarray(out["mask"])
+    assert np.isfinite(k0).all()
+    assert mask.any()
+    assert (k0[mask] >= 0).all() and (k0[mask][:, 0] < 96).all()
