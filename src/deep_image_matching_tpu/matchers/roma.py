@@ -109,8 +109,14 @@ class RomaMatcher(DetectorFreeMatcher):
         HB, WB = imB.shape[:2]
         a = resize_image(imA, (self.res, self.res))
         b = resize_image(imB, (self.res, self.res))
+        # decoder dtype: bf16 measured only ~1.09x on v5e (the decode cost is
+        # gather/resize-bound, not conv-bound) while flow drift through the
+        # coarse-to-fine feedback loop is non-trivial -> keep f32 unless the
+        # user opts in via matcher conf (the DINOv2 encoder stays bf16).
+        cdt = str(self.conf.get("decoder_dtype", "float32"))
         warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair(
-            self.params, jnp.asarray(a[None]), jnp.asarray(b[None])
+            self.params, jnp.asarray(a[None]), jnp.asarray(b[None]),
+            decoder_dtype=cdt,
         )
         if self.upsample_preds:
             r = self.upsample_res
@@ -120,7 +126,7 @@ class RomaMatcher(DetectorFreeMatcher):
             warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair_upsample(
                 self.params, jnp.asarray(a_hr[None]), jnp.asarray(b_hr[None]),
                 warp_ab, cert_ab, warp_ba, cert_ba,
-                scale_factor=scale_factor,
+                scale_factor=scale_factor, compute_dtype=cdt,
             )
         self._key += 1
         matches, cert = roma_model.sample_matches(

@@ -164,13 +164,20 @@ def select_tile_pairs(
 
 class LowResProbe:
     """Low-resolution match probe for tile preselection (reference
-    ``matcher_base.py:1095-1138``: SuperPoint+matcher at
-    ``tile_preselection_size``)."""
+    ``matcher_base.py:1095-1138``: SuperPoint+LightGlue at
+    ``tile_preselection_size``).
+
+    Matches with LightGlue when its pretrained weights are available
+    (reference behavior); without weights it falls back to symmetric-mutual
+    NN on the raw SuperPoint descriptors, which is deterministic and
+    shift-equivariant even under random extractor init."""
 
     def __init__(self, preselection_size: int = 1000, max_keypoints: int = 1024):
         self.size = preselection_size
         self.max_keypoints = max_keypoints
         self._runner = None
+        self._lg = None
+        self._lg_checked = False
         self._cache: Dict[str, dict] = {}
 
     def _get_runner(self):
@@ -181,6 +188,26 @@ class LowResProbe:
                 max_keypoints=self.max_keypoints, resize_max=self.size
             )
         return self._runner
+
+    def _get_lightglue(self):
+        """LightGlueRunner iff pretrained superpoint_lightglue weights exist."""
+        if not self._lg_checked:
+            self._lg_checked = True
+            import os
+            from pathlib import Path
+
+            wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
+            bases = ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]
+            if any(
+                (b / n).exists()
+                for b in bases
+                for n in ("superpoint_lightglue.pth",
+                          "superpoint_lightglue_v0-1_arxiv.pth")
+            ):
+                from ..models.lightglue import LightGlueRunner
+
+                self._lg = LightGlueRunner(features="superpoint")
+        return self._lg
 
     def matches(self, path0, path1) -> Tuple[np.ndarray, np.ndarray]:
         """Matched full-resolution coordinate arrays for an image pair."""
@@ -195,6 +222,15 @@ class LowResProbe:
                 self._cache[key] = self._get_runner().extract_images([p])[0]
             feats.append(self._cache[key])
         f0, f1 = feats
+
+        lg = self._get_lightglue()
+        if lg is not None:
+            idx = lg.match_pairs([f0, f1], [(0, 1)])[0]  # (M, 2)
+            return (
+                np.asarray(f0["keypoints"])[idx[:, 0]],
+                np.asarray(f1["keypoints"])[idx[:, 1]],
+            )
+
         cap = max(128, ((max(len(f0["keypoints"]), len(f1["keypoints"])) + 127) // 128) * 128)
 
         def pad(f):

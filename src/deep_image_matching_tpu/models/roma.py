@@ -308,19 +308,38 @@ def local_correlation(f1, f2, flow, radius):
     )
 
 
-def conv_refiner_fwd(p, f1, f2, flow, scale: str, scale_factor=1.0):
-    """One refinement step at a scale (reference ConvRefiner.forward)."""
+def conv_refiner_fwd(p, f1, f2, flow, scale: str, scale_factor=1.0,
+                     compute_dtype="float32"):
+    """One refinement step at a scale (reference ConvRefiner.forward).
+
+    ``compute_dtype='bfloat16'`` runs the depthwise/1x1 conv stack and the
+    feature gathers in bf16 (flow coordinates and the output head stay f32)
+    — the refiners are HBM/VPU-bound at the fine scales, so halving the
+    traffic is nearly a 2x on TPU."""
     B, H, W, C = f1.shape
     _ci, _h, _disp, radius = _REFINERS[scale]
+    cdt = jnp.dtype(compute_dtype)
+    if cdt != jnp.float32:
+        f1 = f1.astype(cdt)
+        f2 = f2.astype(cdt)
+        p = {
+            **jax.tree.map(
+                lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x,
+                {k: v for k, v in p.items() if k != "out"},
+            ),
+            "out": p["out"],
+        }
 
     def per_image(x, y, fl):
         x_hat = _grid_sample(y, fl)
         coords = _grid(H, W)
         disp = fl - coords
-        emb = (40 / 32 * scale_factor * disp) @ p["disp_emb"]["w"] + p["disp_emb"]["b"]
-        parts = [x, x_hat, emb]
+        emb = (40 / 32 * scale_factor * disp) @ p["disp_emb"]["w"].astype(
+            jnp.float32
+        ) + p["disp_emb"]["b"].astype(jnp.float32)
+        parts = [x, x_hat.astype(x.dtype), emb.astype(x.dtype)]
         if radius is not None:
-            parts.append(local_correlation(x, y, fl, radius))
+            parts.append(local_correlation(x, y, fl, radius).astype(x.dtype))
         d = jnp.concatenate(parts, axis=-1)
         return d
 
@@ -360,7 +379,7 @@ def _resize(x, hw):
 
 
 def decode(params, f1_pyr, f2_pyr, scales=SCALES, flow=None, certainty=None,
-           scale_factor=1.0):
+           scale_factor=1.0, compute_dtype="float32"):
     """Coarse-to-fine warp decoding (reference Decoder.forward)."""
     sizes = {s: f1_pyr[s].shape[1:3] for s in f1_pyr}
     coarsest = scales[0]
@@ -389,7 +408,8 @@ def decode(params, f1_pyr, f2_pyr, scales=SCALES, flow=None, certainty=None,
             flow = cls_to_flow_refine(cls_logits)
         ins = int(s)
         delta_flow, delta_cert = conv_refiner_fwd(
-            params["refiners"][s], f1_s, f2_s, flow, s, scale_factor
+            params["refiners"][s], f1_s, f2_s, flow, s, scale_factor,
+            compute_dtype=compute_dtype,
         )
         h, w = sizes[s]
         disp = ins * jnp.stack(
@@ -421,8 +441,9 @@ def build_pyramid(params, images, use_dino=True, compute_dtype="bfloat16"):
     return pyr
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def match_pair_impl(params, imA, imB, compute_dtype="bfloat16"):
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "decoder_dtype"))
+def match_pair_impl(params, imA, imB, compute_dtype="bfloat16",
+                    decoder_dtype="float32"):
     """Symmetric dense matching at the model resolution.
 
     imA/imB (B, H, W, 3) with H, W multiples of 56 (14 and 8 divisible).
@@ -433,17 +454,17 @@ def match_pair_impl(params, imA, imB, compute_dtype="bfloat16"):
     pyr = build_pyramid(params, both, compute_dtype=compute_dtype)
     f_q = pyr
     f_s = {s: jnp.concatenate([v[B:], v[:B]], axis=0) for s, v in pyr.items()}
-    flow, cert = decode(params, f_q, f_s)
+    flow, cert = decode(params, f_q, f_s, compute_dtype=decoder_dtype)
     return flow[:B], cert[:B], flow[B:], cert[B:]
 
 
 match_pair = match_pair_impl
 
 
-@functools.partial(jax.jit, static_argnames=("scale_factor",))
+@functools.partial(jax.jit, static_argnames=("scale_factor", "compute_dtype"))
 def match_pair_upsample(
     params, imA_hr, imB_hr, flow_ab, cert_ab, flow_ba, cert_ba,
-    scale_factor: float = 1.0,
+    scale_factor: float = 1.0, compute_dtype: str = "float32",
 ):
     """Second refinement pass at the upsample resolution (reference
     ``RegressionMatcher.match`` upsample_preds path): VGG-only pyramid
@@ -459,6 +480,7 @@ def match_pair_upsample(
     flow, cert = decode(
         params, f_q, f_s, scales=["8", "4", "2", "1"],
         flow=flow, certainty=cert, scale_factor=scale_factor,
+        compute_dtype=compute_dtype,
     )
     return flow[:B], cert[:B], flow[B:], cert[B:]
 

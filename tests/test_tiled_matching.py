@@ -71,6 +71,30 @@ def test_affine_tile_preselection():
     assert estimate_affine_ransac(src[:2], dst[:2]) is None
 
 
+def test_lowres_probe_lightglue_path(image_dir):
+    """LowResProbe routes through LightGlueRunner when one is set (the
+    weights-present path); output shape contract holds."""
+    import jax
+    from deep_image_matching_tpu.matchers.tiling import LowResProbe
+    from deep_image_matching_tpu.models.lightglue import (
+        LightGlueRunner, init_params,
+    )
+
+    paths = sorted(image_dir.iterdir())[:2]
+    probe = LowResProbe(preselection_size=256, max_keypoints=256)
+    probe._lg = LightGlueRunner(
+        params=init_params(jax.random.PRNGKey(0), n_layers=2),
+        filter_threshold=0.0,
+    )
+    probe._lg_checked = True
+    p0, p1 = probe.matches(paths[0], paths[1])
+    assert p0.shape == p1.shape and p0.shape[1] == 2
+    # fallback path still works on the same cached features
+    probe._lg = None
+    q0, q1 = probe.matches(paths[0], paths[1])
+    assert q0.shape == q1.shape and q0.shape[1] == 2 and len(q0) > 0
+
+
 def test_tiled_sift_pipeline(project_dir, image_dir):
     """SIFT with grid tiling: features carry tile_idx; tiled matching
     produces verified pairs equivalent to untiled on the same data."""
