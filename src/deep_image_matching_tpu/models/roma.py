@@ -293,19 +293,47 @@ def cls_to_flow_refine(cls_logits):
 
 def local_correlation(f1, f2, flow, radius):
     """(2r+1)^2 correlation of f1 with f2 sampled around flow targets.
-    f1, f2 (H, W, C); flow (H, W, 2) normalized -> (H, W, (2r+1)^2)."""
+    f1, f2 (H, W, C); flow (H, W, 2) normalized -> (H, W, (2r+1)^2).
+
+    The window taps (reference: ``local_corr`` in RoMa's ConvRefiner) are
+    spaced exactly one pixel apart (2r/H over r taps in half-normalized
+    coords), so every tap shares the same bilinear fractional weights. We
+    therefore gather (2r+2)^2 integer-shifted feature rows once, correlate,
+    and bilinearly blend the *scalar* maps — ~3.5x fewer HBM gathers than
+    per-tap bilinear sampling (4(2r+1)^2 row-gathers -> (2r+2)^2), with
+    bit-equal semantics up to fp reordering."""
     H, W, C = f1.shape
     r = radius
-    dy = jnp.linspace(-2 * r / H, 2 * r / H, 2 * r + 1)
-    dx = jnp.linspace(-2 * r / W, 2 * r / W, 2 * r + 1)
-    gy, gx = jnp.meshgrid(dy, dx, indexing="ij")
-    win = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (K, 2)
-    pos = flow[:, :, None, :] + win[None, None]  # (H, W, K, 2)
-    samples = _grid_sample(f2, pos)  # (H, W, K, C)
-    return jnp.einsum(
-        "hwc,hwkc->hwk", f1 / np.sqrt(C), samples,
+    M = 2 * r + 2
+    K = 2 * r + 1
+    px = (flow[..., 0] + 1.0) * W / 2.0 - 0.5
+    py = (flow[..., 1] + 1.0) * H / 2.0 - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = (px - x0)[..., None, None]
+    fy = (py - y0)[..., None, None]
+    offs = np.arange(-r, r + 2)
+    oy, ox = np.meshgrid(offs, offs, indexing="ij")  # (M, M)
+    yi = y0[..., None] + oy.reshape(-1)[None, None]  # (H, W, M^2)
+    xi = x0[..., None] + ox.reshape(-1)[None, None]
+    valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+    idx = (
+        jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W
+        + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+    )
+    v = f2.reshape(H * W, C)[idx.reshape(-1)].reshape(H, W, M * M, C)
+    g = jnp.einsum(
+        "hwc,hwmc->hwm", f1 / np.sqrt(C), v,
         preferred_element_type=jnp.float32,
     )
+    g = (g * valid).reshape(H, W, M, M)
+    corr = (
+        (1 - fy) * (1 - fx) * g[:, :, 0:K, 0:K]
+        + (1 - fy) * fx * g[:, :, 0:K, 1:K + 1]
+        + fy * (1 - fx) * g[:, :, 1:K + 1, 0:K]
+        + fy * fx * g[:, :, 1:K + 1, 1:K + 1]
+    )
+    return corr.reshape(H, W, K * K)
 
 
 def conv_refiner_fwd(p, f1, f2, flow, scale: str, scale_factor=1.0,
