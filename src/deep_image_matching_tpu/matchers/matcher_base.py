@@ -178,8 +178,38 @@ class BatchedMatcher(MatcherBase):
         results: Dict[Tuple[str, str], int] = {}
         for start in range(0, len(pairs), bsz):
             chunk = pairs[start : start + bsz]
-            self._match_chunk(chunk, store, matches_path, use_device_gv, results)
+            self._match_chunk_resilient(
+                chunk, store, matches_path, use_device_gv, results
+            )
         return results
+
+    def _match_chunk_resilient(
+        self, chunk, store, matches_path, use_device_gv, results
+    ):
+        """OOM/failure containment (reference ``matcher_base.py:246-256``
+        falls back from full-image to tiled matching on CUDA OOM): a failed
+        batch is bisected and retried — a device OOM at batch B usually
+        succeeds at B/2 — and a single failing pair is logged and skipped
+        rather than killing the run (reference per-pair try/except
+        ``image_matching.py:476-486``)."""
+        try:
+            self._match_chunk(chunk, store, matches_path, use_device_gv, results)
+        except Exception as e:
+            if len(chunk) > 1:
+                logger.warning(
+                    f"Match batch of {len(chunk)} failed "
+                    f"({type(e).__name__}: {e}); retrying in halves"
+                )
+                mid = len(chunk) // 2
+                self._match_chunk_resilient(
+                    chunk[:mid], store, matches_path, use_device_gv, results
+                )
+                self._match_chunk_resilient(
+                    chunk[mid:], store, matches_path, use_device_gv, results
+                )
+            else:
+                logger.warning(f"Matching {chunk[0][0]}-{chunk[0][1]} failed: {e}")
+                results[tuple(chunk[0])] = 0
 
     def _match_chunk(self, chunk, store, matches_path, use_device_gv, results):
         import jax

@@ -77,6 +77,29 @@ def test_sift_pipeline_end_to_end(project_dir, image_dir):
     assert (cfg.output_dir / "config.json").exists()
 
 
+def test_match_batch_oom_fallback(project_dir, monkeypatch):
+    """A batch-level failure (simulated device OOM) bisects and retries;
+    a single bad pair is skipped, the rest still match (reference CUDA-OOM
+    fallback semantics)."""
+    from deep_image_matching_tpu.matchers.kornia_matcher import NNMatcher
+
+    orig = NNMatcher._match_chunk
+    calls = {"n": 0}
+
+    def flaky(self, chunk, *a, **kw):
+        calls["n"] += 1
+        if len(chunk) > 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: simulated OOM")
+        return orig(self, chunk, *a, **kw)
+
+    monkeypatch.setattr(NNMatcher, "_match_chunk", flaky)
+    cfg, feature_path, match_path = _run(project_dir)
+    from deep_image_matching_tpu.io.h5 import list_pairs
+
+    assert calls["n"] > 1  # split actually happened
+    assert len(list_pairs(match_path)) >= 1  # pipeline still produced matches
+
+
 def test_sift_pipeline_sequential(project_dir):
     cfg, feature_path, match_path = _run(project_dir, strategy="sequential", overlap=1)
     pairs_file = cfg.output_dir / "pairs.txt"
