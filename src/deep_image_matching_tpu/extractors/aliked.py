@@ -122,12 +122,18 @@ class ALIKEDExtractor(ExtractorBase):
                         arr = np.repeat(arr[..., None], 3, axis=-1)
                     batch[j, :h, :w] = arr
                     vhw[j] = (h, w)
+                import jax
+
                 out = aliked_model.extract(
                     self.params, jnp.asarray(batch), jnp.asarray(vhw),
                     max_keypoints=self.max_keypoints,
                     detection_threshold=self.detection_threshold,
                     nms_radius=self.nms_radius,
                     model_name=self.model_name,
+                    compute_dtype=str(self.conf.get(
+                        "compute_dtype",
+                        "bfloat16" if jax.default_backend() != "cpu" else "float32",
+                    )),
                 )
                 out = {k: np.asarray(v) for k, v in out.items()}
                 for j, i in enumerate(chunk):
