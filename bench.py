@@ -84,7 +84,10 @@ def main():
         vhw = jnp.tile(jnp.array([[1024, 1024]], jnp.int32), (8, 1))
 
         def sp_call():
-            return sp.extract(sp_params, imgs, vhw, max_keypoints=2048)
+            return sp.extract(
+                sp_params, imgs, vhw, max_keypoints=2048,
+                compute_dtype="bfloat16" if on_tpu else "float32",
+            )
 
         float(jnp.sum(sp_call()["scores"]))  # compile
         t0 = time.time()

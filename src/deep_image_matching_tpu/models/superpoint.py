@@ -88,11 +88,20 @@ def _pool2(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def dense_forward(params: Params, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def dense_forward(
+    params: Params, images: jnp.ndarray, compute_dtype: str = "float32"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """images: (B, H, W, 1) in [0,1], H and W multiples of 8.
 
     Returns (scores (B, H, W), desc_map (B, H/8, W/8, 256) not yet
-    normalized)."""
+    normalized). ``compute_dtype='bfloat16'`` runs the conv stack in bf16;
+    the detection softmax and descriptor normalization stay f32."""
+    cdt = jnp.dtype(compute_dtype)
+    if cdt != jnp.float32:
+        params = jax.tree.map(
+            lambda v: v.astype(cdt) if v.dtype == jnp.float32 else v, params
+        )
+        images = images.astype(cdt)
     x = images
     x = _conv(x, params["conv1a"])
     x = _conv(x, params["conv1b"])
@@ -108,7 +117,7 @@ def dense_forward(params: Params, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp
 
     # detection head: 65-ch per-cell softmax, drop dustbin, depth-to-space
     cpa = _conv(x, params["convPa"])
-    heat = _conv(cpa, params["convPb"], relu=False)
+    heat = _conv(cpa, params["convPb"], relu=False).astype(jnp.float32)
     heat = jax.nn.softmax(heat, axis=-1)[..., :-1]  # (B, Hc, Wc, 64)
     B, Hc, Wc, _ = heat.shape
     heat = heat.reshape(B, Hc, Wc, 8, 8)
@@ -117,11 +126,13 @@ def dense_forward(params: Params, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp
     # descriptor head
     cda = _conv(x, params["convDa"])
     desc = _conv(cda, params["convDb"], relu=False)  # (B, Hc, Wc, 256)
-    return scores, desc
+    return scores, desc.astype(jnp.float32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_keypoints", "nms_radius", "remove_borders")
+    jax.jit,
+    static_argnames=("max_keypoints", "nms_radius", "remove_borders",
+                     "compute_dtype"),
 )
 def extract(
     params: Params,
@@ -131,6 +142,7 @@ def extract(
     nms_radius: int = 4,
     keypoint_threshold: float = 0.0005,
     remove_borders: int = 4,
+    compute_dtype: str = "float32",
 ) -> Dict[str, jnp.ndarray]:
     """Fused batched extraction: backbone + NMS + top-k + descriptor sampling
     in one XLA program.
@@ -138,7 +150,7 @@ def extract(
     Returns dict with ``keypoints (B,K,2)`` (x,y), ``scores (B,K)``,
     ``descriptors (B,K,256)`` L2-normalized, ``mask (B,K)``.
     """
-    scores, desc_map = dense_forward(params, images)
+    scores, desc_map = dense_forward(params, images, compute_dtype)
     # the dense map is L2-normalized before sampling (and the sampled vectors
     # re-normalized after interpolation), matching the reference pipeline
     desc_map = desc_map / jnp.maximum(
@@ -232,6 +244,10 @@ class SuperPointRunner:
                     self.params, jnp.asarray(batch), jnp.asarray(vhw),
                     self.max_keypoints, self.nms_radius,
                     self.keypoint_threshold, self.remove_borders,
+                    compute_dtype=(
+                        "bfloat16" if jax.default_backend() != "cpu"
+                        else "float32"
+                    ),
                 )
                 out = {k: np.asarray(v) for k, v in out.items()}
                 for j, i in enumerate(chunk):
