@@ -18,7 +18,13 @@ def gui() -> dict:
 
     result: dict = {}
 
-    root = tk.Tk()
+    try:
+        root = tk.Tk()
+    except tk.TclError as e:
+        raise SystemExit(
+            f"Cannot open the GUI: no display available ({e}). "
+            "Run without --gui, or set DISPLAY / use X forwarding."
+        ) from None
     root.title("Deep Image Matching (TPU)")
 
     paths = {"images": tk.StringVar(), "outs": tk.StringVar()}
