@@ -88,26 +88,47 @@ class LOFTRMatcher(DetectorFreeMatcher):
         return img[: hh - hh % 8, : ww - ww % 8]  # crop to /8 (avoid pad borders)
 
     def _match_images(self, path0, path1):
+        return self._match_images_batch([(path0, path1)])[0]
+
+    def _match_images_batch(self, paths):
+        """Shape-bucketed pair batches: pairs whose processed images share
+        shapes run as ONE jitted program (the per-pair loop of the reference
+        becomes a batch axis; same-camera datasets land in one bucket)."""
         import jax.numpy as jnp
 
         from ..models import loftr as loftr_model
 
-        img0 = self._load(path0)
-        img1 = self._load(path1)
-        # original sizes for rescale
-        full0 = read_image(path0, grayscale=True).shape
-        full1 = read_image(path1, grayscale=True).shape
-        out = loftr_model.match_pair(
-            self.params,
-            jnp.asarray(img0[None, ..., None]),
-            jnp.asarray(img1[None, ..., None]),
-            max_matches=self.max_matches,
-            threshold=self.match_threshold,
-        )
-        out = {k: np.asarray(v) for k, v in out.items()}
-        m = out["mask"][0]
-        k0 = out["keypoints0"][0][m]
-        k1 = out["keypoints1"][0][m]
-        s0 = np.array([full0[1] / img0.shape[1], full0[0] / img0.shape[0]], np.float32)
-        s1 = np.array([full1[1] / img1.shape[1], full1[0] / img1.shape[0]], np.float32)
-        return k0 * s0, k1 * s1
+        loaded, fulls = {}, {}
+        for p0, p1 in paths:
+            for p in (p0, p1):
+                key = str(p)
+                if key not in loaded:
+                    loaded[key] = self._load(p)
+                    fulls[key] = read_image(p, grayscale=True).shape
+        buckets: dict = {}
+        for i, (p0, p1) in enumerate(paths):
+            buckets.setdefault(
+                (loaded[str(p0)].shape, loaded[str(p1)].shape), []
+            ).append(i)
+        out_list = [None] * len(paths)
+        for idxs in buckets.values():
+            img0 = np.stack([loaded[str(paths[i][0])] for i in idxs])[..., None]
+            img1 = np.stack([loaded[str(paths[i][1])] for i in idxs])[..., None]
+            out = loftr_model.match_pair(
+                self.params,
+                jnp.asarray(img0), jnp.asarray(img1),
+                max_matches=self.max_matches,
+                threshold=self.match_threshold,
+            )
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for b, i in enumerate(idxs):
+                p0, p1 = (str(paths[i][0]), str(paths[i][1]))
+                m = out["mask"][b]
+                k0 = out["keypoints0"][b][m]
+                k1 = out["keypoints1"][b][m]
+                h0, w0 = loaded[p0].shape
+                h1, w1 = loaded[p1].shape
+                s0 = np.array([fulls[p0][1] / w0, fulls[p0][0] / h0], np.float32)
+                s1 = np.array([fulls[p1][1] / w1, fulls[p1][0] / h1], np.float32)
+                out_list[i] = (k0 * s0, k1 * s1)
+        return out_list

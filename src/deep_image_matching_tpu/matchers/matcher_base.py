@@ -455,35 +455,62 @@ class DetectorFreeMatcher(MatcherBase):
     ``_update_features_h5`` ``:824-849``)."""
 
     def match_all(self, pairs, feature_path, matches_path):
-        import cv2
-
         general = self.config.get("general", {})
         image_dir = general.get("image_dir")
         if image_dir is None:
             raise ValueError("Detector-free matching needs general['image_dir']")
         results: Dict[Tuple[str, str], int] = {}
-        for img0, img1 in pairs:
+        bsz = int(self.tpu.get("match_batch_size", 16))
+        for start in range(0, len(pairs), bsz):
+            chunk = pairs[start : start + bsz]
+            paths = [
+                (Path(image_dir) / a, Path(image_dir) / b) for a, b in chunk
+            ]
             try:
-                kpts0, kpts1 = self._match_images(
-                    Path(image_dir) / img0, Path(image_dir) / img1
-                )
-                matches = self._append_features(
-                    feature_path, img0, img1, kpts0, kpts1
-                )
-                self._save_raw(matches_path, img0, img1, matches)
-                verified = self._verify_and_save_coords(
-                    matches_path, img0, img1, matches, kpts0, kpts1
-                )
-                results[(img0, img1)] = 0 if verified is None else len(verified)
+                matched = self._match_images_batch(paths)
             except Exception as e:
-                logger.warning(f"Detector-free matching {img0}-{img1} failed: {e}")
-                results[(img0, img1)] = 0
+                logger.warning(
+                    f"Batched detector-free matching failed "
+                    f"({type(e).__name__}: {e}); falling back per pair"
+                )
+                matched = []
+                for p0, p1 in paths:
+                    try:
+                        matched.append(self._match_images(p0, p1))
+                    except Exception as e2:
+                        logger.warning(f"Matching {p0.name}-{p1.name} failed: {e2}")
+                        matched.append(None)
+            for (img0, img1), km in zip(chunk, matched):
+                if km is None:
+                    results[(img0, img1)] = 0
+                    continue
+                try:
+                    kpts0, kpts1 = km
+                    matches = self._append_features(
+                        feature_path, img0, img1, kpts0, kpts1
+                    )
+                    self._save_raw(matches_path, img0, img1, matches)
+                    verified = self._verify_and_save_coords(
+                        matches_path, img0, img1, matches, kpts0, kpts1
+                    )
+                    results[(img0, img1)] = 0 if verified is None else len(verified)
+                except Exception as e:
+                    logger.warning(
+                        f"Detector-free matching {img0}-{img1} failed: {e}"
+                    )
+                    results[(img0, img1)] = 0
         return results
 
     def _match_images(self, path0, path1):
         """Subclass hook: image paths -> matched coordinate arrays
         (kpts0 (M, 2), kpts1 (M, 2)) in full-resolution pixels."""
         raise NotImplementedError
+
+    def _match_images_batch(self, paths):
+        """Batched hook: list of (path0, path1) -> list of (kpts0, kpts1) or
+        None per pair. Default: sequential per-pair matching; subclasses
+        override to run shape-bucketed pair batches on device."""
+        return [self._match_images(p0, p1) for p0, p1 in paths]
 
     def _append_features(self, feature_path, img0, img1, kpts0, kpts1):
         """Append per-pair keypoints to each image's feature group with
