@@ -460,7 +460,11 @@ class DetectorFreeMatcher(MatcherBase):
         if image_dir is None:
             raise ValueError("Detector-free matching needs general['image_dir']")
         results: Dict[Tuple[str, str], int] = {}
-        bsz = int(self.tpu.get("match_batch_size", 16))
+        # per-pair is measured FASTER per pair than batched for the dense
+        # matchers on v5e (LoFTR 640x480: 58.7 pairs/s at B=1 vs 33 at B>=4 -
+        # the (B, HW, HW-free) working set loses HBM locality), so the chunk
+        # defaults to 1; raise matcher conf 'pair_batch_size' to batch.
+        bsz = int(self.conf.get("pair_batch_size", 1))
         for start in range(0, len(pairs), bsz):
             chunk = pairs[start : start + bsz]
             paths = [

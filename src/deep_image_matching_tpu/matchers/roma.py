@@ -98,42 +98,61 @@ class RomaMatcher(DetectorFreeMatcher):
         self._key = 0
 
     def _match_images(self, path0, path1) -> Tuple[np.ndarray, np.ndarray]:
+        return self._match_images_batch([(path0, path1)])[0]
+
+    def _match_images_batch(self, paths):
+        """All pairs share the fixed coarse/upsample resolutions, so every
+        chunk is one bucket: the warps for B pairs compute as one jitted
+        program (internally 2B with the symmetric pass)."""
         import jax
         import jax.numpy as jnp
 
         from ..models import roma as roma_model
 
-        imA = read_image(path0, grayscale=False).astype(np.float32) / 255.0
-        imB = read_image(path1, grayscale=False).astype(np.float32) / 255.0
-        HA, WA = imA.shape[:2]
-        HB, WB = imB.shape[:2]
-        a = resize_image(imA, (self.res, self.res))
-        b = resize_image(imB, (self.res, self.res))
+        # memory guard: 2B images at upsample_res through the VGG pyramid
+        B_cap = int(self.tpu.get("roma_batch_size", 4))
+        if len(paths) > B_cap:
+            out = []
+            for s in range(0, len(paths), B_cap):
+                out.extend(self._match_images_batch(paths[s : s + B_cap]))
+            return out
+
+        ims = []
+        sizes = []
+        for p0, p1 in paths:
+            imA = read_image(p0, grayscale=False).astype(np.float32) / 255.0
+            imB = read_image(p1, grayscale=False).astype(np.float32) / 255.0
+            sizes.append((imA.shape[:2], imB.shape[:2]))
+            ims.append((imA, imB))
+        a = np.stack([resize_image(x[0], (self.res, self.res)) for x in ims])
+        b = np.stack([resize_image(x[1], (self.res, self.res)) for x in ims])
         # decoder dtype: bf16 measured only ~1.09x on v5e (the decode cost is
         # gather/resize-bound, not conv-bound) while flow drift through the
         # coarse-to-fine feedback loop is non-trivial -> keep f32 unless the
         # user opts in via matcher conf (the DINOv2 encoder stays bf16).
         cdt = str(self.conf.get("decoder_dtype", "float32"))
         warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair(
-            self.params, jnp.asarray(a[None]), jnp.asarray(b[None]),
-            decoder_dtype=cdt,
+            self.params, jnp.asarray(a), jnp.asarray(b), decoder_dtype=cdt,
         )
         if self.upsample_preds:
             r = self.upsample_res
-            a_hr = resize_image(imA, (r, r))
-            b_hr = resize_image(imB, (r, r))
+            a_hr = np.stack([resize_image(x[0], (r, r)) for x in ims])
+            b_hr = np.stack([resize_image(x[1], (r, r)) for x in ims])
             scale_factor = float(np.sqrt(r * r / (self.res * self.res)))
             warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair_upsample(
-                self.params, jnp.asarray(a_hr[None]), jnp.asarray(b_hr[None]),
+                self.params, jnp.asarray(a_hr), jnp.asarray(b_hr),
                 warp_ab, cert_ab, warp_ba, cert_ba,
                 scale_factor=scale_factor, compute_dtype=cdt,
             )
-        self._key += 1
-        matches, cert = roma_model.sample_matches(
-            np.asarray(warp_ab[0]), np.asarray(cert_ab[0]),
-            np.asarray(warp_ba[0]), np.asarray(cert_ba[0]),
-            jax.random.PRNGKey(self._key),
-            num=self.num_points, sample_thresh=self.sample_thresh,
-        )
-        kA, kB = roma_model.to_pixel_coordinates(matches, HA, WA, HB, WB)
-        return kA.astype(np.float32), kB.astype(np.float32)
+        results = []
+        for i, ((HA, WA), (HB, WB)) in enumerate(sizes):
+            self._key += 1
+            matches, cert = roma_model.sample_matches(
+                np.asarray(warp_ab[i]), np.asarray(cert_ab[i]),
+                np.asarray(warp_ba[i]), np.asarray(cert_ba[i]),
+                jax.random.PRNGKey(self._key),
+                num=self.num_points, sample_thresh=self.sample_thresh,
+            )
+            kA, kB = roma_model.to_pixel_coordinates(matches, HA, WA, HB, WB)
+            results.append((kA.astype(np.float32), kB.astype(np.float32)))
+        return results
