@@ -119,6 +119,7 @@ class LOFTRMatcher(DetectorFreeMatcher):
                 jnp.asarray(img0), jnp.asarray(img1),
                 max_matches=self.max_matches,
                 threshold=self.match_threshold,
+                compute_dtype=str(self.conf.get("compute_dtype", "float32")),
             )
             out = {k: np.asarray(v) for k, v in out.items()}
             for b, i in enumerate(idxs):

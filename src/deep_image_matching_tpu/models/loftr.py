@@ -227,13 +227,13 @@ def backbone_forward(params, images):
     from ..ops.deform import upsample_bilinear_align
 
     x3_out = _conv(x3, bp["l3_out"])
-    x3_up = upsample_bilinear_align(x3_out, 2)
+    x3_up = upsample_bilinear_align(x3_out, 2).astype(x3_out.dtype)
     x2_out = _conv(x2, bp["l2_out"])
     x2_out = _conv(
         jax.nn.leaky_relu(_conv(x2_out + x3_up, bp["l2_out2a"]), 0.01),
         bp["l2_out2b"],
     )
-    x2_up = upsample_bilinear_align(x2_out, 2)
+    x2_up = upsample_bilinear_align(x2_out, 2).astype(x2_out.dtype)
     x1_out = _conv(x1, bp["l1_out"])
     x1_out = _conv(
         jax.nn.leaky_relu(_conv(x1_out + x2_up, bp["l1_out2a"]), 0.01),
@@ -449,9 +449,21 @@ def match_pair_impl(
     max_matches: int = 2048,
     threshold: float = 0.2,
     temp_bug_fix: bool = False,
+    compute_dtype: str = "float32",
 ) -> Dict[str, jnp.ndarray]:
+    """``compute_dtype='bfloat16'`` runs the conv backbone and the coarse
+    transformer in bf16 (layernorm / attention accumulation, dual-softmax
+    matching, and the fine 5x5 refinement stay f32). Opt-in via matcher
+    conf."""
     B, H0, W0, _ = images0.shape
     H1, W1 = images1.shape[1:3]
+    cdt = jnp.dtype(compute_dtype)
+    if cdt != jnp.float32:
+        params = jax.tree.map(
+            lambda v: v.astype(cdt) if v.dtype == jnp.float32 else v, params
+        )
+        images0 = images0.astype(cdt)
+        images1 = images1.astype(cdt)
     fc0_map, ff0 = backbone_forward(params, images0)
     fc1_map, ff1 = backbone_forward(params, images1)
     h0c, w0c = fc0_map.shape[1:3]
@@ -459,9 +471,17 @@ def match_pair_impl(
 
     pe0 = sine_pos_encoding(h0c, w0c, D_COARSE, temp_bug_fix)
     pe1 = sine_pos_encoding(h1c, w1c, D_COARSE, temp_bug_fix)
-    fc0 = (fc0_map + pe0[None]).reshape(B, h0c * w0c, D_COARSE)
-    fc1 = (fc1_map + pe1[None]).reshape(B, h1c * w1c, D_COARSE)
+    fc0 = (fc0_map + pe0[None].astype(fc0_map.dtype)).reshape(B, h0c * w0c, D_COARSE)
+    fc1 = (fc1_map + pe1[None].astype(fc1_map.dtype)).reshape(B, h1c * w1c, D_COARSE)
     fc0, fc1 = transformer(fc0, fc1, params["coarse"], None, None, NHEAD)
+    fc0 = fc0.astype(jnp.float32)
+    fc1 = fc1.astype(jnp.float32)
+    ff0 = ff0.astype(jnp.float32)
+    ff1 = ff1.astype(jnp.float32)
+    if cdt != jnp.float32:  # fine stage params back to f32 for refinement
+        params = jax.tree.map(
+            lambda v: v.astype(jnp.float32) if v.dtype == cdt else v, params
+        )
 
     i_ids, j_ids, conf, valid = coarse_match(
         fc0, fc1, (h0c, w0c), (h1c, w1c), max_matches, threshold
@@ -489,5 +509,6 @@ def match_pair_impl(
 
 match_pair = jax.jit(
     match_pair_impl,
-    static_argnames=("max_matches", "threshold", "temp_bug_fix"),
+    static_argnames=("max_matches", "threshold", "temp_bug_fix",
+                     "compute_dtype"),
 )

@@ -212,12 +212,12 @@ def backbone_forward(params, images):
     x3 = _block_fwd(x3, bp["layer3"][1], 1)
 
     x3_out = _conv(x3, bp["l3_out"])
-    x3_up = upsample_bilinear_align(x3_out, 2)
+    x3_up = upsample_bilinear_align(x3_out, 2).astype(x3_out.dtype)
     x2_out = _conv(x2, bp["l2_out"])
     x2_out = _conv(
         jax.nn.relu(_conv(x2_out + x3_up, bp["l2_out2a"])), bp["l2_out2b"]
     )
-    x2_up = upsample_bilinear_align(x2_out, 2)
+    x2_up = upsample_bilinear_align(x2_out, 2).astype(x2_out.dtype)
     x1_out = _conv(x1, bp["l1_out"])
     x1_out = _conv(
         jax.nn.relu(_conv(x1_out + x2_up, bp["l1_out2a"])), bp["l1_out2b"]
