@@ -83,11 +83,20 @@ def _argmax_dot_kernel(a_ref, b_ref, bias_ref, max_ref, arg_ref, acc_max, acc_ar
         arg_ref[0] = acc_arg[...]
 
 
-def _sweep(kernel, n_outs, a, b, bias, block_m=512, block_n=1024):
+def _divisor_block(n: int, candidates=(1024, 512, 256, 128)) -> int:
+    """Largest candidate dividing n — Pallas edge blocks read out-of-bounds
+    garbage, so blocks must tile exactly (capacities are multiples of 128)."""
+    for c in candidates:
+        if n % c == 0 and n >= c:
+            return c
+    return n
+
+
+def _sweep(kernel, n_outs, a, b, bias):
     B, M, D = a.shape
     N = b.shape[1]
-    block_m = min(block_m, M)
-    block_n = min(block_n, N)
+    block_m = _divisor_block(M, (512, 256, 128))
+    block_n = _divisor_block(N, (1024, 512, 256, 128))
     out_dtypes = [jnp.float32, jnp.int32][:n_outs] if n_outs == 2 else [jnp.float32]
     outs = pl.pallas_call(
         kernel,

@@ -87,8 +87,14 @@ def nn_top2(
     Returns (min1, min2, argmin), each (B, K0)."""
     B, K0, D = d0.shape
     K1 = d1.shape[1]
-    block_m = min(block_m, K0)
-    block_n = min(block_n, K1)
+    # Pallas edge blocks read out-of-bounds garbage: blocks must tile the
+    # arrays exactly (keypoint capacities are multiples of 128).
+    block_m = next(
+        (b for b in (block_m, 256, 128) if K0 % b == 0 and K0 >= b), K0
+    )
+    block_n = next(
+        (b for b in (block_n, 512, 256, 128) if K1 % b == 0 and K1 >= b), K1
+    )
     sq1 = sq1[:, None, :]  # (B, 1, K1)
 
     grid = (B, pl.cdiv(K0, block_m), pl.cdiv(K1, block_n))

@@ -85,21 +85,43 @@ def logsumexp_rows(z, v, logmu, block_m=256, block_n=2048):
     return u[..., 0]
 
 
+def _pad_to(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
 def sinkhorn_fused(couplings, log_mu, log_nu, iters: int):
     """Alternating fused sweeps; returns (u, v). The column sweep reuses the
     row kernel on the transposed couplings (materialized once — the
-    transpose costs one extra Z copy total, not per iteration)."""
+    transpose costs one extra Z copy total, not per iteration).
+
+    Pallas edge blocks read out-of-bounds garbage, so the (M+1, N+1)
+    couplings (e.g. 4097 at K=4096 — never block-aligned) are padded ONCE to
+    a multiple of 512 with -1e30 (zero mass: exp(-1e30 - max) == 0 in every
+    sweep) and u/v sliced back. Block sizes are then exact divisors."""
+    B, M, N = couplings.shape
+    Mp, Np = _pad_to(M, 512), _pad_to(N, 512)
+    if (Mp, Np) != (M, N):
+        couplings = jnp.pad(
+            couplings, ((0, 0), (0, Mp - M), (0, Np - N)),
+            constant_values=_NEG,
+        )
+        log_mu = jnp.pad(log_mu, ((0, 0), (0, Mp - M)), constant_values=_NEG)
+        log_nu = jnp.pad(log_nu, ((0, 0), (0, Np - N)), constant_values=_NEG)
+    bm = next(b for b in (256, 128, 512) if Mp % b == 0)
+    bn = next(b for b in (2048, 1024, 512) if Np % b == 0)
+    bmT = next(b for b in (256, 128, 512) if Np % b == 0)
+    bnT = next(b for b in (2048, 1024, 512) if Mp % b == 0)
     zT = jnp.swapaxes(couplings, 1, 2)
 
     def body(carry, _):
         u, v = carry
-        u = logsumexp_rows(couplings, v, log_mu)
+        u = logsumexp_rows(couplings, v, log_mu, block_m=bm, block_n=bn)
         u = jnp.maximum(u, _NEG)
-        v = logsumexp_rows(zT, u, log_nu)
+        v = logsumexp_rows(zT, u, log_nu, block_m=bmT, block_n=bnT)
         v = jnp.maximum(v, _NEG)
         return (u, v), None
 
     u0 = jnp.zeros_like(log_mu)
     v0 = jnp.zeros_like(log_nu)
     (u, v), _ = jax.lax.scan(body, (u0, v0), None, length=iters)
-    return u, v
+    return u[:, :M], v[:, :N]

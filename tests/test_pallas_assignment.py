@@ -112,3 +112,25 @@ def test_forward_fused_assignment_option():
         np.asarray(out_f["matching_scores0"]),
         np.asarray(out_d["matching_scores0"]), atol=2e-3,
     )
+
+
+def test_fused_assignment_unaligned_capacity():
+    """Regression: capacities that are multiples of 128 but not of the sweep
+    blocks (e.g. 1152) must still tile exactly (verified on TPU; fixed
+    512/1024 blocks read garbage at the ragged edge before)."""
+    from deep_image_matching_tpu.ops.pallas_assignment import assignment_fused
+
+    rng = np.random.default_rng(5)
+    B, M, N, D = 1, 1152, 384, 32
+    md0 = jnp.asarray(rng.normal(size=(B, M, D)).astype(np.float32))
+    md1 = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    z0 = jnp.asarray(rng.normal(size=(B, M)).astype(np.float32))
+    z1 = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+    m0 = jnp.ones((B, M), bool)
+    m1 = jnp.ones((B, N), bool)
+    scores = _dense(md0, md1, z0, z1, m0, m1)
+    max0, arg0, _, _ = assignment_fused(md0, md1, z0, z1, m0, m1)
+    np.testing.assert_array_equal(np.asarray(arg0),
+                                  np.asarray(jnp.argmax(scores, 2)))
+    np.testing.assert_allclose(np.asarray(max0),
+                               np.asarray(jnp.max(scores, 2)), atol=1e-3)
