@@ -89,6 +89,85 @@ def _pad_to(n: int, q: int) -> int:
     return -(-n // q) * q
 
 
+def _iter_kernel(
+    z_ref, v_ref, logmu_ref, lognu_ref, u_ref, vout_ref, colmax, colsum
+):
+    """One full Sinkhorn iteration in a single pass over Z.
+
+    Grid (B, M-strips); each step holds a full-width (bm, N) strip in VMEM:
+    compute u_new for the strip from v_old (row logsumexp), then fold the
+    strip's contribution exp(z + u_new) into persistent per-column running
+    (max, sum) accumulators. After the last strip, v_new = lognu - col_lse.
+    Gauss-Seidel semantics identical to the two-sweep form, with Z read
+    ONCE per iteration instead of twice."""
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        colmax[...] = jnp.full_like(colmax, _NEG)
+        colsum[...] = jnp.zeros_like(colsum)
+
+    z = z_ref[0]                                   # (bm, N)
+    zv = z + v_ref[0, 0, :][None, :]
+    m = jnp.max(zv, axis=1)
+    s = jnp.exp(zv - m[:, None]).sum(axis=1)
+    lse = m + jnp.log(jnp.maximum(s, 1e-38))
+    u_new = jnp.maximum(logmu_ref[0][:, 0] - lse, _NEG)  # (bm,)
+    u_ref[0] = u_new[:, None]
+
+    zu = z + u_new[:, None]                        # (bm, N)
+    t_max = jnp.max(zu, axis=0)                    # (N,)
+    m_old = colmax[0, :]
+    m_new = jnp.maximum(m_old, t_max)
+    s_new = colsum[0, :] * jnp.exp(m_old - m_new) + jnp.exp(
+        zu - m_new[None, :]
+    ).sum(axis=0)
+    colmax[0, :] = m_new
+    colsum[0, :] = s_new
+
+    @pl.when(i == ni - 1)
+    def _write():
+        col_lse = colmax[0, :] + jnp.log(jnp.maximum(colsum[0, :], 1e-38))
+        vout_ref[0, 0, :] = jnp.maximum(lognu_ref[0, 0, :] - col_lse, _NEG)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m",))
+def sinkhorn_iteration(z, v, log_mu, log_nu, block_m=128):
+    """(u_new, v_new) from v — one fused Gauss-Seidel iteration, one Z read.
+    z (B, M, N) must be exactly tileable: M % block_m == 0."""
+    B, M, N = z.shape
+    u, v_new = pl.pallas_call(
+        _iter_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, M // block_m),
+            in_specs=[
+                pl.BlockSpec((1, block_m, N), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, block_m, 1), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_m, 1), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, N), jnp.float32),
+                pltpu.VMEM((1, N), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(z, v[:, None, :], log_mu[:, :, None], log_nu[:, None, :])
+    return u[..., 0], v_new[:, 0, :]
+
+
 def sinkhorn_fused(couplings, log_mu, log_nu, iters: int):
     """Alternating fused sweeps; returns (u, v). The column sweep reuses the
     row kernel on the transposed couplings (materialized once — the
@@ -107,18 +186,9 @@ def sinkhorn_fused(couplings, log_mu, log_nu, iters: int):
         )
         log_mu = jnp.pad(log_mu, ((0, 0), (0, Mp - M)), constant_values=_NEG)
         log_nu = jnp.pad(log_nu, ((0, 0), (0, Np - N)), constant_values=_NEG)
-    bm = next(b for b in (256, 128, 512) if Mp % b == 0)
-    bn = next(b for b in (2048, 1024, 512) if Np % b == 0)
-    bmT = next(b for b in (256, 128, 512) if Np % b == 0)
-    bnT = next(b for b in (2048, 1024, 512) if Mp % b == 0)
-    zT = jnp.swapaxes(couplings, 1, 2)
-
     def body(carry, _):
         u, v = carry
-        u = logsumexp_rows(couplings, v, log_mu, block_m=bm, block_n=bn)
-        u = jnp.maximum(u, _NEG)
-        v = logsumexp_rows(zT, u, log_nu, block_m=bmT, block_n=bnT)
-        v = jnp.maximum(v, _NEG)
+        u, v = sinkhorn_iteration(couplings, v, log_mu, log_nu)
         return (u, v), None
 
     u0 = jnp.zeros_like(log_mu)
