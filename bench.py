@@ -15,8 +15,14 @@ Prints ONE JSON line to stdout.
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# Runnable from a bare checkout: resolve the src/ layout without installation.
+_SRC = Path(__file__).resolve().parent / "src"
+if _SRC.is_dir() and str(_SRC) not in sys.path:
+    sys.path.insert(0, str(_SRC))
 
 
 def main():
