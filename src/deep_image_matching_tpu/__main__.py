@@ -54,17 +54,15 @@ def run_matching(args: dict):
 
     reconstruction = None
     if not config.general.get("skip_reconstruction"):
-        from .reconstruction import incremental_reconstruction, pycolmap_available
+        from .reconstruction import incremental_reconstruction
 
-        if pycolmap_available():
+        try:
             reconstruction = incremental_reconstruction(
-                database_path, config.image_dir, config.output_dir
+                database_path, config.image_dir, config.output_dir,
+                backend=config.general.get("sfm_backend", "auto"),
             )
-        else:
-            logger.warning(
-                "pycolmap not installed - skipping reconstruction. "
-                "The COLMAP database is ready for external SfM."
-            )
+        except Exception as e:
+            logger.error(f"Reconstruction failed: {e}")
 
     if config.general.get("openmvg_conf"):
         from .io.h5_to_openmvg import export_to_openmvg

@@ -72,6 +72,9 @@ conf_general: Dict[str, Any] = {
     "min_inlier_ratio_per_pair": 0.15,
     "try_match_full_images": False,
     "preselection_pipeline": "superpoint+lightglue",
+    # SfM backend: "auto" = pycolmap when installed, else the native
+    # TPU mapper (sfm/); or force "pycolmap" / "native"
+    "sfm_backend": "auto",
     # --- TPU-native execution options (new in this build) ---
     "tpu": {
         # images per extract batch (per size bucket) and pairs per match batch

@@ -1,10 +1,13 @@
-"""Incremental SfM via pycolmap (host-side C++ COLMAP).
+"""Incremental SfM: pycolmap (host C++ COLMAP) or the native TPU mapper.
 
 Parity: reference ``reconstruction.py:12-110`` — runs
 ``pycolmap.incremental_mapping`` on the exported database, picks the largest
-model, writes COLMAP text + PLY. pycolmap stays a host dependency (SURVEY.md
-section 2.4); it is optional in this environment, and everything upstream
-still produces a standard COLMAP database for external SfM when absent.
+model, writes COLMAP text + PLY. pycolmap stays an optional host dependency
+(SURVEY.md section 2.4); unlike the reference, reconstruction still works
+without it via the native incremental mapper (``sfm/``: RANSAC PnP +
+multi-view triangulation + device bundle adjustment). Backend selection:
+``backend="auto"`` (default) prefers pycolmap and falls back to native;
+``"pycolmap"`` / ``"native"`` force one.
 """
 
 from __future__ import annotations
@@ -32,7 +35,21 @@ def incremental_reconstruction(
     options: Optional[dict] = None,
     export_text: bool = True,
     export_ply: bool = True,
+    backend: str = "auto",
 ) -> Optional[Any]:
+    if backend not in ("auto", "pycolmap", "native"):
+        raise ValueError(f"Unknown sfm backend {backend!r}")
+    if backend == "native" or (backend == "auto" and not pycolmap_available()):
+        if backend == "auto":
+            logger.info(
+                "pycolmap not installed - using the native incremental mapper"
+            )
+        from .sfm import native_incremental_mapping
+
+        return native_incremental_mapping(
+            database_path, image_dir, output_dir,
+            options=options, export_text=export_text, export_ply=export_ply,
+        )
     import multiprocessing
 
     import pycolmap

@@ -1,0 +1,314 @@
+"""Bundle adjustment as a jitted XLA program (Levenberg-Marquardt + PCG).
+
+This is the FLOP-heavy stage of the native mapper, built TPU-first:
+
+- **Static shapes.** Problems are padded (observations / points / poses) to
+  bucketed sizes so recompiles are rare; padding rows carry zero weight.
+- **Explicit sparse Jacobian blocks.** Each observation contributes small
+  dense blocks d(res)/d(pose) (2x6), d(res)/d(intr) (2x4), d(res)/d(point)
+  (2x3), computed once per LM iteration with ``vmap(jacfwd)``. The
+  Gauss-Newton product ``J^T J v`` is then two gathers, two tiny batched
+  matmuls, and three ``segment_sum`` scatters — no Jacobian is ever
+  materialized beyond O(obs) blocks, and no autodiff runs inside the solver
+  loop.
+- **Jacobi-preconditioned CG with Marquardt damping.** The normal equations
+  ``(J^T J + lam * diag(J^T J)) d = -J^T r`` are solved by CG preconditioned
+  with the exact diagonal; this is what makes float32 viable despite the
+  ~1e4 curvature disparity between camera and point parameters.
+- **Whole-solver jit.** The LM accept/reject loop runs in ``lax.scan``; the
+  host sees one dispatch per bundle adjustment.
+
+Residuals use the COLMAP SIMPLE_RADIAL model (focal optimized as log f) with
+Huber IRLS reweighting. Gauge freedom is removed by masking the first pose
+(and one translation DOF of the second) out of the update, mirroring
+COLMAP's constant-pose / constant-tvec-x convention.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BAProblem(NamedTuple):
+    """Padded, device-ready bundle-adjustment problem."""
+
+    poses: jnp.ndarray       # (M,6) rvec||tvec
+    intr: jnp.ndarray        # (C,4) f,cx,cy,k1 (f stored linearly here)
+    points: jnp.ndarray      # (N,3)
+    obs_pose: jnp.ndarray    # (O,) int32
+    obs_cam: jnp.ndarray     # (O,) int32
+    obs_pt: jnp.ndarray      # (O,) int32
+    obs_uv: jnp.ndarray      # (O,2)
+    obs_w: jnp.ndarray       # (O,) 0 for padding
+    pose_free: jnp.ndarray   # (M,6) 1 where the DOF is optimized
+    intr_free: jnp.ndarray   # (C,4) 1 where optimized (f slot = log f)
+    point_free: jnp.ndarray  # (N,3)
+
+
+def _rotvec_to_matrix(rvec):
+    theta = jnp.sqrt(jnp.sum(rvec**2) + 1e-24)
+    k = rvec / theta
+    K = jnp.array(
+        [[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]]
+    )
+    return jnp.eye(3) + jnp.sin(theta) * K + (1.0 - jnp.cos(theta)) * (K @ K)
+
+
+def _obs_residual(pose6, log_intr4, pt3, uv):
+    """Unweighted reprojection residual of one observation, (2,)."""
+    R = _rotvec_to_matrix(pose6[:3])
+    Xc = R @ pt3 + pose6[3:]
+    z = Xc[2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    xy = Xc[:2] / zs
+    f = jnp.exp(log_intr4[0])
+    r2 = jnp.sum(xy**2)
+    xy = xy * (1.0 + log_intr4[3] * r2)
+    return xy * f + log_intr4[1:3] - uv
+
+
+_obs_res_batch = jax.vmap(_obs_residual)
+_obs_jac_batch = jax.vmap(jax.jacfwd(_obs_residual, argnums=(0, 1, 2)))
+
+
+def _gather(theta, prob):
+    poses, log_intr, points = theta
+    return poses[prob.obs_pose], log_intr[prob.obs_cam], points[prob.obs_pt]
+
+
+def _residuals(theta, prob: BAProblem, w):
+    p6, li, pt = _gather(theta, prob)
+    return _obs_res_batch(p6, li, pt, prob.obs_uv) * w[:, None]
+
+
+def _huber_weights(theta, prob: BAProblem, delta):
+    res = _residuals(theta, prob, prob.obs_w)
+    nrm = jnp.sqrt(jnp.sum(res**2, axis=1) + 1e-12)
+    return prob.obs_w * jnp.sqrt(jnp.minimum(1.0, delta / nrm))
+
+
+def _tree_dot(a, b):
+    return sum(
+        jnp.sum(x * y) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+@partial(jax.jit, static_argnames=("n_lm_iters", "n_cg_iters"))
+def _ba_solve(prob: BAProblem, huber_delta, n_lm_iters: int, n_cg_iters: int):
+    M = prob.poses.shape[0]
+    C = prob.intr.shape[0]
+    N = prob.points.shape[0]
+    free = (prob.pose_free, prob.intr_free, prob.point_free)
+
+    log_intr0 = prob.intr.at[:, 0].set(
+        jnp.log(jnp.maximum(prob.intr[:, 0], 1e-6))
+    )
+    theta0 = (prob.poses, log_intr0, prob.points)
+
+    def cost(theta, w):
+        r = _residuals(theta, prob, w)
+        return 0.5 * jnp.sum(r**2)
+
+    def lm_step(state, _):
+        theta, lam = state
+        w = _huber_weights(theta, prob, huber_delta)
+        p6, li, pt = _gather(theta, prob)
+        r = _obs_res_batch(p6, li, pt, prob.obs_uv) * w[:, None]  # (O,2)
+        c0 = 0.5 * jnp.sum(r**2)
+
+        Jp, Ji, Jx = _obs_jac_batch(p6, li, pt, prob.obs_uv)
+        # weight rows, mask fixed DOFs (columns)
+        Jp = Jp * w[:, None, None] * prob.pose_free[prob.obs_pose][:, None, :]
+        Ji = Ji * w[:, None, None] * prob.intr_free[prob.obs_cam][:, None, :]
+        Jx = Jx * w[:, None, None] * prob.point_free[prob.obs_pt][:, None, :]
+
+        def jt_apply(res2):
+            """J^T res2 -> parameter-space tree."""
+            gp = jax.ops.segment_sum(
+                jnp.einsum("oij,oi->oj", Jp, res2), prob.obs_pose, M
+            )
+            gi = jax.ops.segment_sum(
+                jnp.einsum("oij,oi->oj", Ji, res2), prob.obs_cam, C
+            )
+            gx = jax.ops.segment_sum(
+                jnp.einsum("oij,oi->oj", Jx, res2), prob.obs_pt, N
+            )
+            return (gp, gi, gx)
+
+        def j_apply(v):
+            vp, vi, vx = v
+            return (
+                jnp.einsum("oij,oj->oi", Jp, vp[prob.obs_pose])
+                + jnp.einsum("oij,oj->oi", Ji, vi[prob.obs_cam])
+                + jnp.einsum("oij,oj->oi", Jx, vx[prob.obs_pt])
+            )
+
+        grad = jt_apply(r)
+        # exact diag(J^T J)
+        diag = (
+            jax.ops.segment_sum(jnp.sum(Jp**2, axis=1), prob.obs_pose, M),
+            jax.ops.segment_sum(jnp.sum(Ji**2, axis=1), prob.obs_cam, C),
+            jax.ops.segment_sum(jnp.sum(Jx**2, axis=1), prob.obs_pt, N),
+        )
+        damp = jax.tree.map(lambda d: lam * d + 1e-8, diag)
+        precon = jax.tree.map(
+            lambda d, dm: 1.0 / (d + dm), diag, damp
+        )
+
+        def hvp(v):
+            jtjv = jt_apply(j_apply(v))
+            return jax.tree.map(lambda h, dm, x: h + dm * x, jtjv, damp, v)
+
+        # Jacobi-preconditioned CG
+        b = jax.tree.map(lambda g: -g, grad)
+
+        def cg_body(_, s):
+            x, res, p, rz = s
+            Ap = hvp(p)
+            denom = _tree_dot(p, Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            x = jax.tree.map(lambda a, c: a + alpha * c, x, p)
+            res = jax.tree.map(lambda a, c: a - alpha * c, res, Ap)
+            z = jax.tree.map(lambda m, c: m * c, precon, res)
+            rz_new = _tree_dot(res, z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p = jax.tree.map(lambda a, c: a + beta * c, z, p)
+            return x, res, p, rz_new
+
+        x0 = jax.tree.map(jnp.zeros_like, b)
+        z0 = jax.tree.map(lambda m, c: m * c, precon, b)
+        delta = jax.lax.fori_loop(
+            0, n_cg_iters, cg_body, (x0, b, z0, _tree_dot(b, z0))
+        )[0]
+
+        theta_new = jax.tree.map(lambda a, d, m: a + d * m, theta, delta, free)
+        c1 = cost(theta_new, w)
+        accept = c1 < c0
+        theta = jax.tree.map(
+            lambda a, b_: jnp.where(accept, b_, a), theta, theta_new
+        )
+        lam = jnp.where(accept, lam * 0.3, lam * 5.0)
+        lam = jnp.clip(lam, 1e-10, 1e8)
+        return (theta, lam), jnp.where(accept, c1, c0)
+
+    (theta, _), costs = jax.lax.scan(
+        lm_step, (theta0, jnp.asarray(1e-4, prob.poses.dtype)), None,
+        length=n_lm_iters,
+    )
+    poses, log_intr, points = theta
+    intr = log_intr.at[:, 0].set(jnp.exp(log_intr[:, 0]))
+    return poses, intr, points, costs
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    """Next power-of-two size to bound recompiles."""
+    n = max(n, minimum)
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def bundle_adjust(
+    poses: np.ndarray,
+    intr: np.ndarray,
+    points: np.ndarray,
+    obs_pose: np.ndarray,
+    obs_cam: np.ndarray,
+    obs_pt: np.ndarray,
+    obs_uv: np.ndarray,
+    pose_free: np.ndarray,
+    intr_free: np.ndarray,
+    point_free: Optional[np.ndarray] = None,
+    huber_delta_px: float = 4.0,
+    n_lm_iters: int = 25,
+    n_cg_iters: int = 30,
+    dtype=np.float32,
+) -> Dict[str, np.ndarray]:
+    """Run device LM-BA; returns refined poses/intr/points (unpadded).
+
+    Inputs are host numpy; this pads to bucketed static shapes (so XLA
+    compiles a handful of program sizes per run), normalizes the scene to
+    unit scale for float32 conditioning, and denormalizes the result.
+    """
+    M, C, N, O = len(poses), len(intr), len(points), len(obs_pose)
+    if O == 0 or N == 0:
+        return {
+            "poses": np.asarray(poses, np.float64),
+            "intr": np.asarray(intr, np.float64),
+            "points": np.asarray(points, np.float64),
+            "costs": np.zeros(0),
+        }
+    poses = np.asarray(poses, np.float64)
+    intr = np.asarray(intr, np.float64)
+    points = np.asarray(points, np.float64)
+
+    # --- scene normalization: center on the point centroid, unit median norm
+    centroid = np.median(points, axis=0)
+    scale = float(np.median(np.linalg.norm(points - centroid, axis=1))) + 1e-9
+    pts_n = (points - centroid) / scale
+    poses_n = poses.copy()
+    for i in range(M):
+        R = _np_rotmat(poses[i, :3])
+        # x_cam = R x + t with x = centroid + scale*x'  ->  t' = (t + R c)/s
+        poses_n[i, 3:] = (poses[i, 3:] + R @ centroid) / scale
+
+    Mb, Nb, Ob = _bucket(M, 8), _bucket(N), _bucket(O)
+
+    def pad(a, n, fill=0.0):
+        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    intr_safe = intr.copy()
+    intr_safe[:, 0] = np.where(intr_safe[:, 0] <= 0, 1.0, intr_safe[:, 0])
+    pf = (
+        np.ones((N, 3), dtype)
+        if point_free is None
+        else np.broadcast_to(
+            np.asarray(point_free, dtype).reshape(N, -1), (N, 3)
+        ).astype(dtype)
+    )
+    prob = BAProblem(
+        poses=jnp.asarray(pad(poses_n.astype(dtype), Mb)),
+        intr=jnp.asarray(pad(intr_safe.astype(dtype), C, fill=1.0)),
+        points=jnp.asarray(pad(pts_n.astype(dtype), Nb)),
+        obs_pose=jnp.asarray(pad(np.asarray(obs_pose, np.int32), Ob)),
+        obs_cam=jnp.asarray(pad(np.asarray(obs_cam, np.int32), Ob)),
+        obs_pt=jnp.asarray(pad(np.asarray(obs_pt, np.int32), Ob)),
+        obs_uv=jnp.asarray(pad(np.asarray(obs_uv, dtype), Ob)),
+        obs_w=jnp.asarray(pad(np.ones(O, dtype), Ob)),
+        pose_free=jnp.asarray(pad(np.asarray(pose_free, dtype), Mb)),
+        intr_free=jnp.asarray(pad(np.asarray(intr_free, dtype), C)),
+        point_free=jnp.asarray(pad(pf, Nb)),
+    )
+    poses_o, intr_o, pts_o, costs = _ba_solve(
+        prob, jnp.asarray(huber_delta_px, dtype), n_lm_iters, n_cg_iters
+    )
+    poses_o = np.asarray(poses_o, np.float64)[:M]
+    intr_o = np.asarray(intr_o, np.float64)[:C]
+    pts_o = np.asarray(pts_o, np.float64)[:N]
+    # denormalize
+    pts_out = pts_o * scale + centroid
+    poses_out = poses_o.copy()
+    for i in range(M):
+        R = _np_rotmat(poses_o[i, :3])
+        poses_out[i, 3:] = poses_o[i, 3:] * scale - R @ centroid
+    return {
+        "poses": poses_out,
+        "intr": intr_o,
+        "points": pts_out,
+        "costs": np.asarray(costs),
+    }
+
+
+def _np_rotmat(rvec: np.ndarray) -> np.ndarray:
+    theta = np.sqrt(np.sum(rvec**2) + 1e-24)
+    k = rvec / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)

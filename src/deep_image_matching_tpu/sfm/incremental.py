@@ -1,0 +1,669 @@
+"""Native incremental SfM mapper (pycolmap-free reconstruction backend).
+
+Reads the COLMAP database the pipeline already produces (keypoints +
+verified ``two_view_geometries``; reference ``reconstruction.py:12-110``
+hands the same db to pycolmap), builds feature tracks with union-find,
+initializes from the best two-view geometry, then alternates RANSAC-PnP
+registration, multi-view DLT triangulation, and device bundle adjustment
+(``sfm/ba.py``). Output matches the reference's artifact contract: a
+COLMAP text model + ``model.ply`` under ``reconstruction/``.
+
+Scope: this mapper targets the framework's example-scale scenes (tens to
+hundreds of images) with SIMPLE_RADIAL/PINHOLE cameras; pycolmap remains
+the preferred backend for full COLMAP fidelity when installed.
+"""
+
+from __future__ import annotations
+
+import logging
+import sqlite3
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.colmap_db import blob_to_array, pair_id_to_image_ids
+from ..io.colmap_read_write_model import (
+    Camera,
+    Image,
+    Point3D,
+    rotmat2qvec,
+    write_model,
+)
+from . import geometry as geom
+from .ba import bundle_adjust
+
+logger = logging.getLogger("dim_tpu")
+
+
+# ---------------------------------------------------------------------------
+# database loading
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SfMData:
+    image_names: Dict[int, str]
+    image_cam: Dict[int, int]
+    keypoints: Dict[int, np.ndarray]          # image_id -> (N,2) pixels
+    cameras: Dict[int, dict]                   # camera_id -> {intr, width, height, model}
+    pair_matches: Dict[Tuple[int, int], np.ndarray]  # (id0,id1) -> (M,2) kpt idx
+
+
+def load_database(database_path: Path) -> SfMData:
+    """Read images, keypoints, cameras and verified matches from the db.
+
+    Intrinsics are normalized to SIMPLE_RADIAL ``(f, cx, cy, k1)`` regardless
+    of the stored model (PINHOLE means k1=0 and f = mean(fx, fy)).
+    """
+    con = sqlite3.connect(str(database_path))
+    cur = con.cursor()
+    cameras: Dict[int, dict] = {}
+    for cam_id, model, width, height, params, _prior in cur.execute(
+        "SELECT camera_id, model, width, height, params, prior_focal_length "
+        "FROM cameras"
+    ):
+        p = blob_to_array(params, np.float64)
+        if model == 0:  # SIMPLE_PINHOLE f cx cy
+            intr = np.array([p[0], p[1], p[2], 0.0])
+        elif model == 1:  # PINHOLE fx fy cx cy
+            intr = np.array([(p[0] + p[1]) / 2.0, p[2], p[3], 0.0])
+        elif model == 2:  # SIMPLE_RADIAL f cx cy k
+            intr = p[:4].copy()
+        elif model == 3:  # RADIAL f cx cy k1 k2 (k2 dropped)
+            intr = p[:4].copy()
+        elif model == 4:  # OPENCV fx fy cx cy k1 ...
+            intr = np.array([(p[0] + p[1]) / 2.0, p[2], p[3], p[4]])
+        else:
+            logger.warning(
+                f"Camera model id {model} unsupported by the native mapper; "
+                "treating as SIMPLE_RADIAL with k1=0"
+            )
+            intr = np.array([p[0], p[1] if len(p) > 1 else width / 2.0,
+                             p[2] if len(p) > 2 else height / 2.0, 0.0])
+        cameras[cam_id] = {
+            "intr": intr, "width": width, "height": height, "model": model,
+        }
+    image_names, image_cam = {}, {}
+    for image_id, name, cam_id in cur.execute(
+        "SELECT image_id, name, camera_id FROM images"
+    ):
+        image_names[image_id] = name
+        image_cam[image_id] = cam_id
+    keypoints = {}
+    for image_id, rows, cols, data in cur.execute(
+        "SELECT image_id, rows, cols, data FROM keypoints"
+    ):
+        kp = blob_to_array(data, np.float32, (rows, cols)) if rows else \
+            np.zeros((0, 2), np.float32)
+        keypoints[image_id] = np.asarray(kp[:, :2], np.float64)
+    pair_matches = {}
+    for pair_id, rows, cols, data in cur.execute(
+        "SELECT pair_id, rows, cols, data FROM two_view_geometries"
+    ):
+        if not rows:
+            continue
+        m = blob_to_array(data, np.uint32, (rows, cols)).astype(np.int64)
+        id0, id1 = pair_id_to_image_ids(pair_id)
+        pair_matches[(id0, id1)] = m
+    con.close()
+    return SfMData(image_names, image_cam, keypoints, cameras, pair_matches)
+
+
+# ---------------------------------------------------------------------------
+# track building (union-find over (image, kpt) feature nodes)
+# ---------------------------------------------------------------------------
+
+
+def build_tracks(data: SfMData, min_track_len: int = 2) -> List[dict]:
+    """Connected components of the match graph -> feature tracks.
+
+    A track is ``{image_id: kpt_idx}``; components where one image appears
+    with two different keypoints are ambiguous and dropped (standard
+    conservative policy for transitive-closure track building).
+    """
+    offsets = {}
+    total = 0
+    for img_id, kps in data.keypoints.items():
+        offsets[img_id] = total
+        total += len(kps)
+    parent = np.arange(total, dtype=np.int64)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for (id0, id1), m in data.pair_matches.items():
+        o0, o1 = offsets[id0], offsets[id1]
+        for i0, i1 in m:
+            ra, rb = find(o0 + i0), find(o1 + i1)
+            if ra != rb:
+                parent[rb] = ra
+    roots: Dict[int, dict] = {}
+    bad = set()
+    rev = {}
+    for img_id, off in offsets.items():
+        for k in range(len(data.keypoints[img_id])):
+            rev[off + k] = (img_id, k)
+    for node in range(total):
+        r = find(node)
+        img_id, k = rev[node]
+        tr = roots.setdefault(r, {})
+        if img_id in tr and tr[img_id] != k:
+            bad.add(r)
+        tr[img_id] = k
+    tracks = [
+        tr for r, tr in roots.items()
+        if r not in bad and len(tr) >= min_track_len
+    ]
+    logger.info(
+        f"Built {len(tracks)} tracks from {len(data.pair_matches)} verified "
+        f"pairs ({len(bad)} ambiguous components dropped)"
+    )
+    return tracks
+
+
+# ---------------------------------------------------------------------------
+# the mapper
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MapperOptions:
+    init_min_matches: int = 50
+    init_min_inliers: int = 30
+    init_min_angle_deg: float = 2.0
+    abs_pose_min_inliers: int = 12
+    abs_pose_thresh_px: float = 8.0
+    tri_thresh_px: float = 6.0
+    tri_min_angle_deg: float = 1.0
+    filter_thresh_px: float = 6.0
+    ba_global_every: int = 1           # global BA after every k registrations
+    ba_lm_iters: int = 25
+    ba_cg_iters: int = 30
+    refine_focal: bool = True
+    refine_distortion: bool = True
+    seed: int = 0
+
+
+class IncrementalMapper:
+    """Incremental reconstruction over a loaded SfMData."""
+
+    def __init__(self, data: SfMData, options: Optional[MapperOptions] = None):
+        self.data = data
+        self.opt = options or MapperOptions()
+        self.rng = np.random.default_rng(self.opt.seed)
+        self.tracks = build_tracks(data)
+        # per-image: track ids touching it
+        self.img_tracks: Dict[int, List[int]] = {i: [] for i in data.image_names}
+        for tid, tr in enumerate(self.tracks):
+            for img_id in tr:
+                self.img_tracks[img_id].append(tid)
+        self.poses: Dict[int, np.ndarray] = {}     # image_id -> (6,) rvec|tvec
+        self.intr: Dict[int, np.ndarray] = {
+            cid: cam["intr"].copy() for cid, cam in data.cameras.items()
+        }
+        self.points: Dict[int, np.ndarray] = {}    # track id -> xyz
+        self.reg_order: List[int] = []
+
+    # -- helpers ----------------------------------------------------------
+
+    def _pair_track_matches(self, id0: int, id1: int) -> List[int]:
+        return [
+            tid for tid in self.img_tracks[id0]
+            if id1 in self.tracks[tid]
+        ]
+
+    def _norm_kpts(self, img_id: int, idx: np.ndarray) -> np.ndarray:
+        intr = self.intr[self.data.image_cam[img_id]]
+        return geom.undistort_normalized(intr, self.data.keypoints[img_id][idx])
+
+    # -- initialization ---------------------------------------------------
+
+    def _try_initialize(self, id0: int, id1: int) -> bool:
+        opt = self.opt
+        tids = self._pair_track_matches(id0, id1)
+        if len(tids) < opt.init_min_matches:
+            return False
+        k0 = np.array([self.tracks[t][id0] for t in tids])
+        k1 = np.array([self.tracks[t][id1] for t in tids])
+        x0 = self._norm_kpts(id0, k0)
+        x1 = self._norm_kpts(id1, k1)
+        f = float(self.intr[self.data.image_cam[id0]][0])
+        res = geom.ransac_essential(x0, x1, thresh=4.0 / f, n_iters=200,
+                                    rng=self.rng)
+        if res is None:
+            return False
+        E, mask = res
+        if mask.sum() < opt.init_min_inliers:
+            return False
+        R, t, front = geom.decompose_essential(E, x0[mask], x1[mask])
+        P0 = geom.pose_to_P(np.eye(3), np.zeros(3))
+        P1 = geom.pose_to_P(R, t)
+        inl_idx = np.where(mask)[0][front]
+        if len(inl_idx) < opt.init_min_inliers:
+            return False
+        X = geom.triangulate_dlt(P0, P1, x0[inl_idx], x1[inl_idx])
+        angles = geom.triangulation_angles(
+            X, np.zeros(3), geom.camera_center(R, t)
+        )
+        if np.median(angles) < opt.init_min_angle_deg:
+            logger.debug(
+                f"init pair ({id0},{id1}) rejected: median angle "
+                f"{np.median(angles):.2f} deg"
+            )
+            return False
+        good = angles > opt.tri_min_angle_deg
+        self.poses[id0] = np.zeros(6)
+        self.poses[id1] = np.concatenate([geom.matrix_to_rotvec(R), t])
+        for tid, xyz in zip(np.asarray(tids)[inl_idx][good], X[good]):
+            self.points[int(tid)] = xyz
+        self.reg_order = [id0, id1]
+        logger.info(
+            f"Initialized from pair ({self.data.image_names[id0]}, "
+            f"{self.data.image_names[id1]}): {int(good.sum())} points, "
+            f"median angle {np.median(angles):.1f} deg"
+        )
+        return True
+
+    def initialize(self) -> bool:
+        # rank candidate pairs by track-filtered correspondence count
+        ranked = sorted(
+            self.data.pair_matches,
+            key=lambda p: -len(self._pair_track_matches(*p)),
+        )
+        for id0, id1 in ranked[:20]:
+            if self._try_initialize(id0, id1):
+                return True
+        return False
+
+    # -- registration -----------------------------------------------------
+
+    def _visible_correspondences(self, img_id: int):
+        tids = [
+            t for t in self.img_tracks[img_id] if t in self.points
+        ]
+        if not tids:
+            return None
+        X = np.stack([self.points[t] for t in tids])
+        uv = self.data.keypoints[img_id][
+            np.array([self.tracks[t][img_id] for t in tids])
+        ]
+        return np.asarray(tids), X, uv
+
+    def next_candidates(self) -> List[Tuple[int, int]]:
+        out = []
+        for img_id in self.data.image_names:
+            if img_id in self.poses:
+                continue
+            vis = self._visible_correspondences(img_id)
+            out.append((0 if vis is None else len(vis[0]), img_id))
+        out.sort(reverse=True)
+        return [(n, i) for n, i in out if n >= 6]
+
+    def register_image(self, img_id: int) -> bool:
+        opt = self.opt
+        vis = self._visible_correspondences(img_id)
+        if vis is None:
+            return False
+        tids, X, uv = vis
+        intr = self.intr[self.data.image_cam[img_id]]
+        res = geom.pnp_ransac(
+            X, uv, intr, n_hyp=256, thresh_px=opt.abs_pose_thresh_px,
+            rng=self.rng,
+        )
+        if res is None:
+            return False
+        R, t, mask = res
+        if mask.sum() < opt.abs_pose_min_inliers:
+            logger.debug(
+                f"register {self.data.image_names[img_id]}: only "
+                f"{int(mask.sum())} PnP inliers"
+            )
+            return False
+        self.poses[img_id] = np.concatenate([geom.matrix_to_rotvec(R), t])
+        self.reg_order.append(img_id)
+        logger.info(
+            f"Registered {self.data.image_names[img_id]} "
+            f"({int(mask.sum())}/{len(mask)} PnP inliers)"
+        )
+        return True
+
+    # -- triangulation ----------------------------------------------------
+
+    def triangulate_new(self) -> int:
+        """Multi-view DLT for tracks with >=2 registered views and no point."""
+        opt = self.opt
+        new = 0
+        Ps = {
+            i: geom.pose_to_P(geom.rotvec_to_matrix(p[:3]), p[3:])
+            for i, p in self.poses.items()
+        }
+        centers = {
+            i: geom.camera_center(geom.rotvec_to_matrix(p[:3]), p[3:])
+            for i, p in self.poses.items()
+        }
+        for tid, tr in enumerate(self.tracks):
+            if tid in self.points:
+                continue
+            reg = [i for i in tr if i in self.poses]
+            if len(reg) < 2:
+                continue
+            xs = np.stack([
+                self._norm_kpts(i, np.array([tr[i]]))[0] for i in reg
+            ])
+            P = np.stack([Ps[i] for i in reg])
+            X = geom.triangulate_multiview(P, xs)
+            # validate: cheirality + reprojection in every view + angle
+            ok = True
+            for i in reg:
+                intr = self.intr[self.data.image_cam[i]]
+                p = self.poses[i]
+                uv, z = geom.project_points(
+                    intr, geom.rotvec_to_matrix(p[:3]), p[3:], X[None]
+                )
+                err = np.linalg.norm(
+                    uv[0] - self.data.keypoints[i][tr[i]]
+                )
+                if z[0] <= 0 or err > opt.tri_thresh_px:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            cs = [centers[i] for i in reg]
+            max_angle = 0.0
+            for a in range(len(cs)):
+                for b in range(a + 1, len(cs)):
+                    max_angle = max(
+                        max_angle,
+                        float(geom.triangulation_angles(
+                            X[None], cs[a], cs[b]
+                        )[0]),
+                    )
+            if max_angle < opt.tri_min_angle_deg:
+                continue
+            self.points[tid] = X
+            new += 1
+        return new
+
+    # -- bundle adjustment / filtering -------------------------------------
+
+    def _gather_problem(self):
+        img_ids = list(self.reg_order)
+        img_index = {im: i for i, im in enumerate(img_ids)}
+        cam_ids = sorted(self.intr)
+        cam_index = {c: i for i, c in enumerate(cam_ids)}
+        tids = sorted(self.points)
+        tid_index = {t: i for i, t in enumerate(tids)}
+        obs_pose, obs_cam, obs_pt, obs_uv, obs_key = [], [], [], [], []
+        for t in tids:
+            tr = self.tracks[t]
+            for im, k in tr.items():
+                if im not in img_index:
+                    continue
+                obs_pose.append(img_index[im])
+                obs_cam.append(cam_index[self.data.image_cam[im]])
+                obs_pt.append(tid_index[t])
+                obs_uv.append(self.data.keypoints[im][k])
+                obs_key.append((t, im))
+        return (
+            img_ids, cam_ids, tids,
+            np.array(obs_pose), np.array(obs_cam), np.array(obs_pt),
+            np.asarray(obs_uv, np.float64), obs_key,
+        )
+
+    def global_ba(self) -> None:
+        opt = self.opt
+        (img_ids, cam_ids, tids, obs_pose, obs_cam, obs_pt, obs_uv,
+         _) = self._gather_problem()
+        if len(tids) == 0 or len(obs_pose) == 0:
+            return
+        poses = np.stack([self.poses[i] for i in img_ids])
+        intr = np.stack([self.intr[c] for c in cam_ids])
+        pts = np.stack([self.points[t] for t in tids])
+        pose_free = np.ones((len(img_ids), 6))
+        pose_free[0] = 0.0          # gauge: first pose constant
+        if len(img_ids) > 1:
+            pose_free[1, 3] = 0.0   # + one translation DOF (scale gauge)
+        intr_free = np.zeros((len(cam_ids), 4))
+        if opt.refine_focal:
+            intr_free[:, 0] = 1.0
+        if opt.refine_distortion:
+            intr_free[:, 3] = 1.0
+        out = bundle_adjust(
+            poses, intr, pts, obs_pose, obs_cam, obs_pt, obs_uv,
+            pose_free, intr_free,
+            huber_delta_px=opt.filter_thresh_px,
+            n_lm_iters=opt.ba_lm_iters, n_cg_iters=opt.ba_cg_iters,
+        )
+        for i, im in enumerate(img_ids):
+            self.poses[im] = out["poses"][i]
+        for i, c in enumerate(cam_ids):
+            self.intr[c] = out["intr"][i]
+        for i, t in enumerate(tids):
+            self.points[t] = out["points"][i]
+
+    def filter_points(self) -> int:
+        """Drop points with bad reprojection / cheirality in any view."""
+        opt = self.opt
+        Rs = {i: geom.rotvec_to_matrix(p[:3]) for i, p in self.poses.items()}
+        removed = 0
+        for tid in list(self.points):
+            tr = self.tracks[tid]
+            X = self.points[tid]
+            n_reg = 0
+            ok = True
+            for im, k in tr.items():
+                if im not in self.poses:
+                    continue
+                n_reg += 1
+                intr = self.intr[self.data.image_cam[im]]
+                uv, z = geom.project_points(
+                    intr, Rs[im], self.poses[im][3:], X[None]
+                )
+                if z[0] <= 0 or np.linalg.norm(
+                    uv[0] - self.data.keypoints[im][k]
+                ) > opt.filter_thresh_px:
+                    ok = False
+                    break
+            if not ok or n_reg < 2:
+                del self.points[tid]
+                removed += 1
+        return removed
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self) -> bool:
+        if not self.initialize():
+            logger.error("Native mapper: no valid initial pair found")
+            return False
+        self.triangulate_new()
+        self.global_ba()
+        self.filter_points()
+        since_ba = 0
+        while True:
+            candidates = self.next_candidates()
+            progressed = False
+            for _, img_id in candidates:
+                if self.register_image(img_id):
+                    progressed = True
+                    self.triangulate_new()
+                    since_ba += 1
+                    if since_ba >= self.opt.ba_global_every:
+                        self.global_ba()
+                        self.filter_points()
+                        self.triangulate_new()
+                        since_ba = 0
+                    break
+            if not progressed:
+                break
+        self.global_ba()
+        self.filter_points()
+        logger.info(
+            f"Native mapper: {len(self.poses)}/{len(self.data.image_names)} "
+            f"images registered, {len(self.points)} 3D points"
+        )
+        return len(self.poses) >= 2
+
+    # -- export ------------------------------------------------------------
+
+    def to_colmap_model(self, image_dir: Optional[Path] = None):
+        """Convert the mapper state to COLMAP cameras/images/points3D dicts."""
+        cameras = {}
+        for cid, cam in self.data.cameras.items():
+            cameras[cid] = Camera(
+                id=cid, model="SIMPLE_RADIAL",
+                width=cam["width"], height=cam["height"],
+                params=self.intr[cid].copy(),
+            )
+        # per-image 2D points & point3D ids
+        colors = _point_colors(self, image_dir)
+        img_xys = {i: [] for i in self.poses}
+        img_pids = {i: [] for i in self.poses}
+        pt_entries = {}
+        errors = {}
+        for tid in sorted(self.points):
+            tr = self.tracks[tid]
+            X = self.points[tid]
+            image_ids, p2d_idxs, errs = [], [], []
+            for im, k in tr.items():
+                if im not in self.poses:
+                    continue
+                intr = self.intr[self.data.image_cam[im]]
+                p = self.poses[im]
+                uv, _ = geom.project_points(
+                    intr, geom.rotvec_to_matrix(p[:3]), p[3:], X[None]
+                )
+                errs.append(
+                    np.linalg.norm(uv[0] - self.data.keypoints[im][k])
+                )
+                image_ids.append(im)
+                p2d_idxs.append(len(img_xys[im]))
+                img_xys[im].append(self.data.keypoints[im][k])
+                img_pids[im].append(tid + 1)
+            pt_entries[tid] = (image_ids, p2d_idxs)
+            errors[tid] = float(np.mean(errs)) if errs else 0.0
+        images = {}
+        for im, p in self.poses.items():
+            R = geom.rotvec_to_matrix(p[:3])
+            images[im] = Image(
+                id=im, qvec=rotmat2qvec(R), tvec=p[3:].copy(),
+                camera_id=self.data.image_cam[im],
+                name=self.data.image_names[im],
+                xys=np.asarray(img_xys[im], np.float64).reshape(-1, 2),
+                point3D_ids=np.asarray(img_pids[im], np.int64),
+            )
+        points3D = {}
+        for tid in sorted(self.points):
+            image_ids, p2d_idxs = pt_entries[tid]
+            points3D[tid + 1] = Point3D(
+                id=tid + 1, xyz=self.points[tid].copy(),
+                rgb=colors.get(tid, np.array([128, 128, 128], np.uint8)),
+                error=errors[tid],
+                image_ids=np.asarray(image_ids, np.int64),
+                point2D_idxs=np.asarray(p2d_idxs, np.int64),
+            )
+        return cameras, images, points3D
+
+
+def _point_colors(
+    mapper: IncrementalMapper, image_dir: Optional[Path]
+) -> Dict[int, np.ndarray]:
+    """Sample the color of each point from its first observing image."""
+    colors: Dict[int, np.ndarray] = {}
+    if image_dir is None:
+        return colors
+    try:
+        import cv2
+    except ImportError:
+        return colors
+    by_image: Dict[int, List[int]] = {}
+    for tid in mapper.points:
+        for im in mapper.tracks[tid]:
+            if im in mapper.poses:
+                by_image.setdefault(im, []).append(tid)
+                break
+    for im, tids in by_image.items():
+        path = Path(image_dir) / mapper.data.image_names[im]
+        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        if img is None:
+            continue
+        h, w = img.shape[:2]
+        for tid in tids:
+            k = mapper.tracks[tid][im]
+            x, y = mapper.data.keypoints[im][k]
+            xi = int(np.clip(round(x), 0, w - 1))
+            yi = int(np.clip(round(y), 0, h - 1))
+            colors[tid] = img[yi, xi, ::-1].astype(np.uint8)  # BGR->RGB
+    return colors
+
+
+def write_ply(path: Path, points3D: Dict[int, Point3D]) -> None:
+    """Write the sparse point cloud as binary little-endian PLY."""
+    pts = list(points3D.values())
+    with open(path, "wb") as f:
+        f.write(
+            (
+                "ply\nformat binary_little_endian 1.0\n"
+                f"element vertex {len(pts)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+                "end_header\n"
+            ).encode()
+        )
+        if pts:
+            xyz = np.stack([p.xyz for p in pts]).astype("<f4")
+            rgb = np.stack([p.rgb for p in pts]).astype(np.uint8)
+            rec = np.zeros(
+                len(pts),
+                dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)],
+            )
+            rec["xyz"] = xyz
+            rec["rgb"] = rgb
+            f.write(rec.tobytes())
+
+
+def native_incremental_mapping(
+    database_path: Path,
+    image_dir: Path,
+    output_dir: Path,
+    options: Optional[dict] = None,
+    export_text: bool = True,
+    export_ply: bool = True,
+):
+    """Drop-in reconstruction entry point mirroring the pycolmap wrapper.
+
+    Returns (cameras, images, points3D) dicts or None on failure; writes the
+    COLMAP text model and model.ply under ``output_dir/reconstruction``.
+    """
+    known = {f for f in MapperOptions.__dataclass_fields__}
+    opts = dict(options or {})
+    unknown = set(opts) - known
+    if unknown:
+        # tolerate pycolmap-style option dicts when "auto" falls back here
+        logger.debug(f"Native mapper ignoring unknown options: {sorted(unknown)}")
+    opt = MapperOptions(**{k: v for k, v in opts.items() if k in known})
+    data = load_database(Path(database_path))
+    if not data.pair_matches:
+        logger.error("Native mapper: database has no verified matches")
+        return None
+    mapper = IncrementalMapper(data, opt)
+    if not mapper.run():
+        return None
+    rec_dir = Path(output_dir) / "reconstruction"
+    rec_dir.mkdir(parents=True, exist_ok=True)
+    cameras, images, points3D = mapper.to_colmap_model(image_dir)
+    if export_text:
+        write_model(cameras, images, points3D, rec_dir, ext=".txt")
+    if export_ply:
+        write_ply(rec_dir / "model.ply", points3D)
+    logger.info(
+        f"Native reconstruction written to {rec_dir} "
+        f"({len(images)} images, {len(points3D)} points)"
+    )
+    return cameras, images, points3D

@@ -1,0 +1,230 @@
+"""Native SfM: geometry primitives, device bundle adjustment, and the
+incremental mapper end-to-end on a synthetic scene written through the real
+COLMAP database layer.
+
+Mirrors the reference's reconstruction coverage (reference
+``tests/test_pipelines.py:123-151`` runs pycolmap end-to-end); here the
+assertions are numeric (pose/intrinsics recovery) because the scene is
+synthetic with known ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from deep_image_matching_tpu.sfm import geometry as G
+from deep_image_matching_tpu.sfm.ba import bundle_adjust
+
+
+def _make_scene(rng, n_cams=6, n_pts=600, f=900.0, k1=-0.05):
+    intr = np.array([f, 320.0, 240.0, k1])
+    X = rng.uniform([-3, -3, 6], [3, 3, 12], (n_pts, 3))
+    poses = []
+    for i in range(n_cams):
+        rv = rng.normal(0, 0.08, 3)
+        R = G.rotvec_to_matrix(rv)
+        c = np.array([i * 0.8 - 2, rng.normal(0, 0.2), rng.normal(0, 0.2)])
+        poses.append(np.concatenate([rv, -R @ c]))
+    return intr, X, np.array(poses)
+
+
+def test_rotvec_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        rv = rng.normal(size=3) * rng.uniform(0, 3.1)
+        R = G.rotvec_to_matrix(rv)
+        assert np.allclose(R @ R.T, np.eye(3), atol=1e-12)
+        assert np.isclose(np.linalg.det(R), 1.0)
+        rv2 = G.matrix_to_rotvec(R)
+        assert np.allclose(G.rotvec_to_matrix(rv2), R, atol=1e-8)
+
+
+def test_triangulate_and_project_exact():
+    rng = np.random.default_rng(1)
+    intr, X, poses = _make_scene(rng, n_cams=2)
+    R1 = G.rotvec_to_matrix(poses[1, :3])
+    uv0, z0 = G.project_points(intr, np.eye(3), np.zeros(3), X)
+    uv1, z1 = G.project_points(intr, R1, poses[1, 3:], X)
+    assert (z0 > 0).all() and (z1 > 0).all()
+    x0 = G.undistort_normalized(intr, uv0)
+    x1 = G.undistort_normalized(intr, uv1)
+    P0 = G.pose_to_P(np.eye(3), np.zeros(3))
+    P1 = G.pose_to_P(R1, poses[1, 3:])
+    Xt = G.triangulate_dlt(P0, P1, x0, x1)
+    assert np.abs(Xt - X).max() < 1e-8
+
+
+def test_essential_decomposition_recovers_pose():
+    rng = np.random.default_rng(2)
+    intr, X, poses = _make_scene(rng, n_cams=2)
+    R1 = G.rotvec_to_matrix(poses[1, :3])
+    t1 = poses[1, 3:]
+    uv0, _ = G.project_points(intr, np.eye(3), np.zeros(3), X)
+    uv1, _ = G.project_points(intr, R1, t1, X)
+    x0 = G.undistort_normalized(intr, uv0)
+    x1 = G.undistort_normalized(intr, uv1)
+    E, mask = G.ransac_essential(x0, x1, thresh=1.0 / intr[0], n_iters=50)
+    assert mask.sum() > 0.95 * len(x0)
+    R, t, front = G.decompose_essential(E, x0[mask], x1[mask])
+    rot_err = np.linalg.norm(G.matrix_to_rotvec(R @ R1.T))
+    assert np.degrees(rot_err) < 0.1
+    cos = np.dot(t / np.linalg.norm(t), t1 / np.linalg.norm(t1))
+    assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 0.5
+
+
+def test_pnp_ransac_with_outliers():
+    rng = np.random.default_rng(3)
+    intr, X, poses = _make_scene(rng, n_cams=2)
+    R1 = G.rotvec_to_matrix(poses[1, :3])
+    t1 = poses[1, 3:]
+    uv, _ = G.project_points(intr, R1, t1, X)
+    uv = uv + rng.normal(0, 0.5, uv.shape)
+    out = rng.random(len(uv)) < 0.25
+    uv[out] = rng.uniform([0, 0], [640, 480], (out.sum(), 2))
+    res = G.pnp_ransac(X, uv, intr, n_hyp=256, thresh_px=4.0,
+                       rng=np.random.default_rng(0))
+    assert res is not None
+    R, t, mask = res
+    assert mask.sum() >= 0.9 * (~out).sum()
+    assert np.degrees(np.linalg.norm(G.matrix_to_rotvec(R @ R1.T))) < 0.5
+    assert np.linalg.norm(t - t1) < 0.05
+
+
+def test_pnp_planar_scene():
+    """DLT degenerates on planar scenes; the cv2 path (or refit) must cope."""
+    pytest.importorskip("cv2")
+    rng = np.random.default_rng(4)
+    intr = np.array([900.0, 320.0, 240.0, 0.0])
+    X = rng.uniform([-3, -3, 0], [3, 3, 0], (300, 3)) + [0, 0, 8.0]
+    X[:, 2] += rng.normal(0, 0.01, len(X))  # quasi-planar facade
+    rv = np.array([0.1, -0.2, 0.05])
+    R = G.rotvec_to_matrix(rv)
+    t = np.array([0.4, -0.1, 0.5])
+    uv, _ = G.project_points(intr, R, t, X)
+    uv += rng.normal(0, 0.5, uv.shape)
+    res = G.pnp_ransac(X, uv, intr, thresh_px=4.0)
+    assert res is not None
+    Rp, tp, mask = res
+    assert mask.sum() > 0.9 * len(X)
+    assert np.degrees(np.linalg.norm(G.matrix_to_rotvec(Rp @ R.T))) < 0.5
+
+
+def _observations(intr, X, poses, rng, noise=0.4):
+    obs = [[], [], [], []]
+    for i, p in enumerate(poses):
+        R = G.rotvec_to_matrix(p[:3])
+        uv, z = G.project_points(intr, R, p[3:], X)
+        vis = (
+            (z > 0)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < 640)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < 480)
+        )
+        idx = np.where(vis)[0]
+        obs[0].append(np.full(len(idx), i))
+        obs[1].append(np.zeros(len(idx), int))
+        obs[2].append(idx)
+        obs[3].append(uv[idx] + rng.normal(0, noise, (len(idx), 2)))
+    return [np.concatenate(o) for o in obs]
+
+
+def test_bundle_adjust_converges_to_noise_floor():
+    rng = np.random.default_rng(5)
+    intr, X, poses = _make_scene(rng)
+    obs_pose, obs_cam, obs_pt, obs_uv = _observations(intr, X, poses, rng)
+    poses0 = poses + rng.normal(0, 0.02, poses.shape)
+    poses0[0] = poses[0]
+    X0 = X + rng.normal(0, 0.05, X.shape)
+    intr0 = np.array([[950.0, 320.0, 240.0, 0.0]])
+    pose_free = np.ones((len(poses), 6))
+    pose_free[0] = 0
+    pose_free[1, 3] = 0
+    intr_free = np.array([[1.0, 0, 0, 1.0]])
+    out = bundle_adjust(
+        poses0, intr0, X0, obs_pose, obs_cam, obs_pt, obs_uv,
+        pose_free, intr_free, n_lm_iters=30, n_cg_iters=30,
+    )
+
+    def rms(poses_, intr_, pts_):
+        errs = []
+        for i in range(len(poses_)):
+            R = G.rotvec_to_matrix(poses_[i, :3])
+            sel = obs_pose == i
+            uv, _ = G.project_points(intr_[0], R, poses_[i, 3:], pts_[obs_pt[sel]])
+            errs.append(np.linalg.norm(uv - obs_uv[sel], axis=1))
+        e = np.concatenate(errs)
+        return np.sqrt((e**2).mean())
+
+    assert rms(poses0, intr0, X0) > 5.0  # the perturbation was real
+    final = rms(out["poses"], out["intr"], out["points"])
+    assert final < 0.8  # ~ the 0.4 px injected noise
+    # gauge pose untouched
+    assert np.allclose(out["poses"][0], poses[0], atol=1e-6)
+
+
+def test_incremental_mapper_end_to_end(tmp_path):
+    from deep_image_matching_tpu.io.colmap_db import COLMAPDatabase
+    from deep_image_matching_tpu.io.colmap_read_write_model import (
+        qvec2rotmat, read_model,
+    )
+    from deep_image_matching_tpu.sfm.incremental import (
+        native_incremental_mapping,
+    )
+
+    rng = np.random.default_rng(6)
+    intr, X, poses = _make_scene(rng, n_cams=6, n_pts=900, k1=0.0)
+    kpts, vis_ids = [], []
+    for p in poses:
+        R = G.rotvec_to_matrix(p[:3])
+        uv, z = G.project_points(intr, R, p[3:], X)
+        vis = (
+            (z > 0)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < 640)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < 480)
+        )
+        ids = np.where(vis)[0]
+        ids = ids[rng.permutation(len(ids))]
+        kpts.append(uv[ids] + rng.normal(0, 0.4, (len(ids), 2)))
+        vis_ids.append(ids)
+
+    db = COLMAPDatabase.connect(tmp_path / "database.db")
+    db.create_tables()
+    cam_id = db.add_camera(2, 640, 480, intr)
+    img_ids = []
+    for i in range(len(poses)):
+        iid = db.add_image(f"img{i}.jpg", cam_id)
+        db.add_keypoints(iid, kpts[i].astype(np.float32))
+        img_ids.append(iid)
+    for i in range(len(poses)):
+        for j in range(i + 1, min(i + 4, len(poses))):
+            _, ia, ib = np.intersect1d(
+                vis_ids[i], vis_ids[j], return_indices=True
+            )
+            m = np.stack([ia, ib], axis=1).astype(np.uint32)
+            m = m[rng.random(len(m)) < 0.8]
+            db.add_matches(img_ids[i], img_ids[j], m)
+            db.add_two_view_geometry(img_ids[i], img_ids[j], m)
+    db.commit()
+    db.close()
+
+    res = native_incremental_mapping(tmp_path / "database.db", tmp_path, tmp_path)
+    assert res is not None
+    cameras, images, points3D = res
+    assert len(images) == len(poses)
+    assert len(points3D) > 500
+    # focal recovered within 2%
+    assert abs(cameras[cam_id].params[0] - intr[0]) / intr[0] < 0.02
+    # pairwise relative rotations within 0.5 deg of ground truth
+    Rrec = {im.name: qvec2rotmat(im.qvec) for im in images.values()}
+    for i in range(len(poses)):
+        for j in range(i + 1, len(poses)):
+            Rg = (
+                G.rotvec_to_matrix(poses[j, :3])
+                @ G.rotvec_to_matrix(poses[i, :3]).T
+            )
+            Rr = Rrec[f"img{j}.jpg"] @ Rrec[f"img{i}.jpg"].T
+            err = np.degrees(np.linalg.norm(G.matrix_to_rotvec(Rr @ Rg.T)))
+            assert err < 0.5, (i, j, err)
+    # artifacts on disk, readable by the standard model reader
+    rec = tmp_path / "reconstruction"
+    cams2, imgs2, pts2 = read_model(rec, ".txt")
+    assert len(imgs2) == len(images) and len(pts2) == len(points3D)
+    assert (rec / "model.ply").stat().st_size > 1000
