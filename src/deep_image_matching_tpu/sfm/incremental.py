@@ -337,58 +337,81 @@ class IncrementalMapper:
     # -- triangulation ----------------------------------------------------
 
     def triangulate_new(self) -> int:
-        """Multi-view DLT for tracks with >=2 registered views and no point."""
+        """Multi-view DLT for tracks with >=2 registered views and no point.
+
+        Vectorized: tracks are grouped by registered-view count V and each
+        group is solved with one batched (T,4,4) eigendecomposition and
+        validated with one batched projection — no per-track Python loop
+        around LAPACK, so 100k-track scenes stay fast.
+        """
         opt = self.opt
-        new = 0
-        Ps = {
-            i: geom.pose_to_P(geom.rotvec_to_matrix(p[:3]), p[3:])
-            for i, p in self.poses.items()
-        }
-        centers = {
-            i: geom.camera_center(geom.rotvec_to_matrix(p[:3]), p[3:])
-            for i, p in self.poses.items()
-        }
+        Rm = {i: geom.rotvec_to_matrix(p[:3]) for i, p in self.poses.items()}
+        groups: Dict[int, List[Tuple[int, List[int]]]] = {}
         for tid, tr in enumerate(self.tracks):
             if tid in self.points:
                 continue
             reg = [i for i in tr if i in self.poses]
-            if len(reg) < 2:
-                continue
-            xs = np.stack([
-                self._norm_kpts(i, np.array([tr[i]]))[0] for i in reg
-            ])
-            P = np.stack([Ps[i] for i in reg])
-            X = geom.triangulate_multiview(P, xs)
-            # validate: cheirality + reprojection in every view + angle
-            ok = True
-            for i in reg:
-                intr = self.intr[self.data.image_cam[i]]
-                p = self.poses[i]
-                uv, z = geom.project_points(
-                    intr, geom.rotvec_to_matrix(p[:3]), p[3:], X[None]
-                )
-                err = np.linalg.norm(
-                    uv[0] - self.data.keypoints[i][tr[i]]
-                )
-                if z[0] <= 0 or err > opt.tri_thresh_px:
-                    ok = False
-                    break
-            if not ok:
-                continue
-            cs = [centers[i] for i in reg]
-            max_angle = 0.0
-            for a in range(len(cs)):
-                for b in range(a + 1, len(cs)):
-                    max_angle = max(
-                        max_angle,
-                        float(geom.triangulation_angles(
-                            X[None], cs[a], cs[b]
-                        )[0]),
-                    )
-            if max_angle < opt.tri_min_angle_deg:
-                continue
-            self.points[tid] = X
-            new += 1
+            if len(reg) >= 2:
+                groups.setdefault(len(reg), []).append((tid, reg))
+        new = 0
+        for V, items in groups.items():
+            T = len(items)
+            xs = np.empty((T, V, 2))      # normalized coords
+            uvs = np.empty((T, V, 2))     # raw pixels (for validation)
+            Rs = np.empty((T, V, 3, 3))
+            ts = np.empty((T, V, 3))
+            intrs = np.empty((T, V, 4))
+            for a, (tid, reg) in enumerate(items):
+                tr = self.tracks[tid]
+                for b, im in enumerate(reg):
+                    k = tr[im]
+                    uvs[a, b] = self.data.keypoints[im][k]
+                    intrs[a, b] = self.intr[self.data.image_cam[im]]
+                    Rs[a, b] = Rm[im]
+                    ts[a, b] = self.poses[im][3:]
+            # batch-undistort (vectorized fixed point; k1 varies per view)
+            xy = (uvs - intrs[..., 1:3]) / intrs[..., 0:1]
+            xs = xy.copy()
+            for _ in range(8):
+                r2 = np.sum(xs**2, axis=-1, keepdims=True)
+                xs = xy / (1.0 + intrs[..., 3:4] * r2)
+            P = np.concatenate([Rs, ts[..., None]], axis=-1)  # (T,V,3,4)
+            rows = np.concatenate(
+                [
+                    xs[..., 0:1] * P[..., 2, :] - P[..., 0, :],
+                    xs[..., 1:2] * P[..., 2, :] - P[..., 1, :],
+                ],
+                axis=1,
+            )  # (T,2V,4)
+            AtA = np.einsum("tij,tik->tjk", rows, rows)
+            _, v = np.linalg.eigh(AtA)
+            Xh = v[:, :, 0]
+            w = Xh[:, 3:4]
+            X = Xh[:, :3] / np.where(np.abs(w) < 1e-12, 1e-12, w)  # (T,3)
+            # validate: cheirality + pixel reprojection in every view
+            Xc = np.einsum("tvij,tj->tvi", Rs, X) + ts  # (T,V,3)
+            z = Xc[..., 2]
+            xyp = Xc[..., :2] / np.where(np.abs(z) < 1e-12, 1e-12, z)[..., None]
+            r2 = np.sum(xyp**2, axis=-1, keepdims=True)
+            uvp = (
+                xyp * (1.0 + intrs[..., 3:4] * r2) * intrs[..., 0:1]
+                + intrs[..., 1:3]
+            )
+            err = np.linalg.norm(uvp - uvs, axis=-1)  # (T,V)
+            ok = (z > 0).all(axis=1) & (err <= opt.tri_thresh_px).all(axis=1)
+            # max pairwise triangulation angle
+            centers = -np.einsum("tvji,tvj->tvi", Rs, ts)  # R^T t with sign
+            d = centers - X[:, None, :]  # (T,V,3)
+            dn = d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-12)
+            cosang = np.einsum("tvi,twi->tvw", dn, dn)
+            np.einsum("tvv->tv", cosang)[...] = 1.0  # ignore self-pairs
+            min_cos = cosang.min(axis=(1, 2))
+            max_angle = np.degrees(np.arccos(np.clip(min_cos, -1.0, 1.0)))
+            ok &= max_angle >= opt.tri_min_angle_deg
+            for a, (tid, _) in enumerate(items):
+                if ok[a]:
+                    self.points[tid] = X[a]
+                    new += 1
         return new
 
     # -- bundle adjustment / filtering -------------------------------------
@@ -449,32 +472,50 @@ class IncrementalMapper:
             self.points[t] = out["points"][i]
 
     def filter_points(self) -> int:
-        """Drop points with bad reprojection / cheirality in any view."""
+        """Drop points with bad reprojection / cheirality in any view.
+
+        Vectorized over all observations of all current points (one
+        projection + one segment reduction on host).
+        """
         opt = self.opt
-        Rs = {i: geom.rotvec_to_matrix(p[:3]) for i, p in self.poses.items()}
-        removed = 0
-        for tid in list(self.points):
+        Rm = {i: geom.rotvec_to_matrix(p[:3]) for i, p in self.poses.items()}
+        tids = list(self.points)
+        if not tids:
+            return 0
+        rows_pt, rows_uv, rows_R, rows_t, rows_intr = [], [], [], [], []
+        n_reg = np.zeros(len(tids), int)
+        for a, tid in enumerate(tids):
             tr = self.tracks[tid]
-            X = self.points[tid]
-            n_reg = 0
-            ok = True
             for im, k in tr.items():
                 if im not in self.poses:
                     continue
-                n_reg += 1
-                intr = self.intr[self.data.image_cam[im]]
-                uv, z = geom.project_points(
-                    intr, Rs[im], self.poses[im][3:], X[None]
-                )
-                if z[0] <= 0 or np.linalg.norm(
-                    uv[0] - self.data.keypoints[im][k]
-                ) > opt.filter_thresh_px:
-                    ok = False
-                    break
-            if not ok or n_reg < 2:
+                n_reg[a] += 1
+                rows_pt.append(a)
+                rows_uv.append(self.data.keypoints[im][k])
+                rows_R.append(Rm[im])
+                rows_t.append(self.poses[im][3:])
+                rows_intr.append(self.intr[self.data.image_cam[im]])
+        pt_idx = np.asarray(rows_pt)
+        X = np.stack([self.points[t] for t in tids])[pt_idx]
+        R = np.stack(rows_R)
+        t = np.stack(rows_t)
+        intr = np.stack(rows_intr)
+        uv_obs = np.stack(rows_uv)
+        Xc = np.einsum("oij,oj->oi", R, X) + t
+        z = Xc[:, 2]
+        xy = Xc[:, :2] / np.where(np.abs(z) < 1e-12, 1e-12, z)[:, None]
+        r2 = np.sum(xy**2, axis=1, keepdims=True)
+        uv = xy * (1.0 + intr[:, 3:4] * r2) * intr[:, 0:1] + intr[:, 1:3]
+        bad_obs = (z <= 0) | (
+            np.linalg.norm(uv - uv_obs, axis=1) > opt.filter_thresh_px
+        )
+        bad = np.zeros(len(tids), bool)
+        np.logical_or.at(bad, pt_idx, bad_obs)
+        bad |= n_reg < 2
+        for a, tid in enumerate(tids):
+            if bad[a]:
                 del self.points[tid]
-                removed += 1
-        return removed
+        return int(bad.sum())
 
     # -- main loop ---------------------------------------------------------
 
@@ -626,6 +667,75 @@ def write_ply(path: Path, points3D: Dict[int, Point3D]) -> None:
             rec["xyz"] = xyz
             rec["rgb"] = rgb
             f.write(rec.tobytes())
+
+
+def native_triangulate_points(
+    model_path: Path,
+    database_path: Path,
+    image_dir: Path,
+    output_dir: Path,
+    options: Optional[dict] = None,
+):
+    """Point triangulation with *known poses* (no pycolmap).
+
+    Reads camera poses from an existing COLMAP model and keypoints/matches
+    from the database, triangulates all tracks, runs a points-only bundle
+    adjustment (poses and intrinsics frozen), and writes the completed model.
+    Mirrors ``pycolmap.triangulate_points`` for the triangulation-only
+    workflow (reference ``triangulation.py:255-306``).
+    """
+    from ..io.colmap_read_write_model import qvec2rotmat, read_model
+
+    known = {f for f in MapperOptions.__dataclass_fields__}
+    opt = MapperOptions(
+        **{k: v for k, v in (options or {}).items() if k in known}
+    )
+    data = load_database(Path(database_path))
+    cameras_in, images_in, _ = read_model(Path(model_path))
+    mapper = IncrementalMapper(data, opt)
+    name_to_id = {n: i for i, n in data.image_names.items()}
+    for im in images_in.values():
+        img_id = name_to_id.get(im.name)
+        if img_id is None:
+            logger.warning(f"Model image {im.name} not found in database")
+            continue
+        R = qvec2rotmat(im.qvec)
+        mapper.poses[img_id] = np.concatenate(
+            [geom.matrix_to_rotvec(R), np.asarray(im.tvec, np.float64)]
+        )
+        mapper.reg_order.append(img_id)
+    if len(mapper.poses) < 2:
+        logger.error("Native triangulation: fewer than 2 posed images")
+        return None
+    n = mapper.triangulate_new()
+    logger.info(f"Triangulated {n} points from known poses")
+    # points-only refinement: freeze all poses and intrinsics
+    (img_ids, cam_ids, tids, obs_pose, obs_cam, obs_pt, obs_uv,
+     _) = mapper._gather_problem()
+    if tids:
+        out = bundle_adjust(
+            np.stack([mapper.poses[i] for i in img_ids]),
+            np.stack([mapper.intr[c] for c in cam_ids]),
+            np.stack([mapper.points[t] for t in tids]),
+            obs_pose, obs_cam, obs_pt, obs_uv,
+            pose_free=np.zeros((len(img_ids), 6)),
+            intr_free=np.zeros((len(cam_ids), 4)),
+            huber_delta_px=opt.filter_thresh_px,
+            n_lm_iters=opt.ba_lm_iters, n_cg_iters=opt.ba_cg_iters,
+        )
+        for i, t in enumerate(tids):
+            mapper.points[t] = out["points"][i]
+    mapper.filter_points()
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    cameras, images, points3D = mapper.to_colmap_model(image_dir)
+    write_model(cameras, images, points3D, output_dir, ext=".txt")
+    write_ply(output_dir / "model.ply", points3D)
+    logger.info(
+        f"Native triangulation: {len(points3D)} points across "
+        f"{len(images)} posed images -> {output_dir}"
+    )
+    return cameras, images, points3D
 
 
 def native_incremental_mapping(

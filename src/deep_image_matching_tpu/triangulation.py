@@ -198,11 +198,26 @@ def triangulate_points(
     database_path: Path,
     image_dir: Path,
     output_dir: Path,
+    backend: str = "auto",
 ) -> Optional[object]:
-    """Point triangulation with known poses (pycolmap, gated)."""
+    """Point triangulation with known poses (pycolmap or the native mapper).
+
+    ``backend``: "auto" prefers pycolmap, falling back to the native
+    triangulator (``sfm.native_triangulate_points``); or force one with
+    "pycolmap" / "native".
+    """
+    have_pycolmap = True
     try:
         import pycolmap
     except ImportError:
+        have_pycolmap = False
+    if backend == "native" or (backend == "auto" and not have_pycolmap):
+        from .sfm.incremental import native_triangulate_points
+
+        return native_triangulate_points(
+            model_path, database_path, image_dir, output_dir
+        )
+    if not have_pycolmap:
         logger.warning("pycolmap not installed - database is ready for "
                        "external 'colmap point_triangulator'")
         return None

@@ -228,3 +228,80 @@ def test_incremental_mapper_end_to_end(tmp_path):
     cams2, imgs2, pts2 = read_model(rec, ".txt")
     assert len(imgs2) == len(images) and len(pts2) == len(points3D)
     assert (rec / "model.ply").stat().st_size > 1000
+
+
+def test_native_triangulate_points_from_poses(tmp_path):
+    from deep_image_matching_tpu.io.colmap_db import COLMAPDatabase
+    from deep_image_matching_tpu.io.colmap_read_write_model import (
+        Camera, Image, rotmat2qvec, write_model,
+    )
+    from deep_image_matching_tpu.sfm.incremental import (
+        native_triangulate_points,
+    )
+
+    rng = np.random.default_rng(7)
+    intr, X, poses = _make_scene(rng, n_cams=4, n_pts=500, k1=0.0)
+    kpts, vis_ids = [], []
+    for p in poses:
+        R = G.rotvec_to_matrix(p[:3])
+        uv, z = G.project_points(intr, R, p[3:], X)
+        vis = (
+            (z > 0)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < 640)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < 480)
+        )
+        ids = np.where(vis)[0]
+        kpts.append(uv[ids] + rng.normal(0, 0.3, (len(ids), 2)))
+        vis_ids.append(ids)
+
+    db = COLMAPDatabase.connect(tmp_path / "database.db")
+    db.create_tables()
+    cam_id = db.add_camera(2, 640, 480, intr)
+    img_ids = []
+    for i in range(len(poses)):
+        iid = db.add_image(f"img{i}.jpg", cam_id)
+        db.add_keypoints(iid, kpts[i].astype(np.float32))
+        img_ids.append(iid)
+    for i in range(len(poses)):
+        for j in range(i + 1, len(poses)):
+            _, ia, ib = np.intersect1d(
+                vis_ids[i], vis_ids[j], return_indices=True
+            )
+            m = np.stack([ia, ib], axis=1).astype(np.uint32)
+            db.add_two_view_geometry(img_ids[i], img_ids[j], m)
+    db.commit()
+    db.close()
+
+    # ground-truth poses as a COLMAP model (no points)
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    cameras = {
+        cam_id: Camera(
+            id=cam_id, model="SIMPLE_RADIAL", width=640, height=480,
+            params=intr.copy(),
+        )
+    }
+    images = {}
+    for i, iid in enumerate(img_ids):
+        R = G.rotvec_to_matrix(poses[i, :3])
+        images[iid] = Image(
+            id=iid, qvec=rotmat2qvec(R), tvec=poses[i, 3:].copy(),
+            camera_id=cam_id, name=f"img{i}.jpg",
+            xys=np.zeros((0, 2)), point3D_ids=np.zeros(0, np.int64),
+        )
+    write_model(cameras, images, {}, model_dir, ext=".txt")
+
+    out_dir = tmp_path / "triangulated"
+    res = native_triangulate_points(
+        model_dir, tmp_path / "database.db", tmp_path, out_dir
+    )
+    assert res is not None
+    _, imgs_out, pts_out = res
+    assert len(pts_out) > 300
+    # triangulated points land near ground truth (poses were exact)
+    errs = []
+    for p in pts_out.values():
+        d = np.linalg.norm(X - p.xyz, axis=1).min()
+        errs.append(d)
+    assert np.median(errs) < 0.05
+    assert (out_dir / "points3D.txt").exists()
