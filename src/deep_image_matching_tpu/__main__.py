@@ -59,6 +59,7 @@ def run_matching(args: dict):
         try:
             reconstruction = incremental_reconstruction(
                 database_path, config.image_dir, config.output_dir,
+                options=config.general.get("sfm_options"),
                 backend=config.general.get("sfm_backend", "auto"),
             )
         except Exception as e:

@@ -75,6 +75,8 @@ conf_general: Dict[str, Any] = {
     # SfM backend: "auto" = pycolmap when installed, else the native
     # TPU mapper (sfm/); or force "pycolmap" / "native"
     "sfm_backend": "auto",
+    # native-mapper options (sfm.MapperOptions fields), e.g. {"ba_global_every": 0}
+    "sfm_options": None,
     # --- TPU-native execution options (new in this build) ---
     "tpu": {
         # images per extract batch (per size bucket) and pairs per match batch

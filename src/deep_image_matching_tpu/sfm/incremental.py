@@ -471,6 +471,54 @@ class IncrementalMapper:
         for i, t in enumerate(tids):
             self.points[t] = out["points"][i]
 
+    def local_ba(self, img_id: int) -> None:
+        """Refine the newly registered pose + the points it observes.
+
+        Covisible registered poses participate in the residuals but stay
+        frozen, so the cost per registration is O(local), which is what lets
+        ``ba_global_every=0`` (adaptive global schedule) scale to hundreds of
+        images the way COLMAP's local/global split does.
+        """
+        opt = self.opt
+        tids = [t for t in self.img_tracks[img_id] if t in self.points]
+        if not tids:
+            return
+        involved = {img_id}
+        for t in tids:
+            for im in self.tracks[t]:
+                if im in self.poses:
+                    involved.add(im)
+        img_ids = sorted(involved)
+        img_index = {im: i for i, im in enumerate(img_ids)}
+        cam_ids = sorted(self.intr)
+        cam_index = {c: i for i, c in enumerate(cam_ids)}
+        tid_index = {t: i for i, t in enumerate(tids)}
+        obs_pose, obs_cam, obs_pt, obs_uv = [], [], [], []
+        for t in tids:
+            for im, k in self.tracks[t].items():
+                if im not in img_index:
+                    continue
+                obs_pose.append(img_index[im])
+                obs_cam.append(cam_index[self.data.image_cam[im]])
+                obs_pt.append(tid_index[t])
+                obs_uv.append(self.data.keypoints[im][k])
+        pose_free = np.zeros((len(img_ids), 6))
+        pose_free[img_index[img_id]] = 1.0
+        out = bundle_adjust(
+            np.stack([self.poses[i] for i in img_ids]),
+            np.stack([self.intr[c] for c in cam_ids]),
+            np.stack([self.points[t] for t in tids]),
+            np.array(obs_pose), np.array(obs_cam), np.array(obs_pt),
+            np.asarray(obs_uv, np.float64),
+            pose_free, np.zeros((len(cam_ids), 4)),
+            huber_delta_px=opt.filter_thresh_px,
+            n_lm_iters=max(8, opt.ba_lm_iters // 2),
+            n_cg_iters=opt.ba_cg_iters,
+        )
+        self.poses[img_id] = out["poses"][img_index[img_id]]
+        for i, t in enumerate(tids):
+            self.points[t] = out["points"][i]
+
     def filter_points(self) -> int:
         """Drop points with bad reprojection / cheirality in any view.
 
@@ -526,6 +574,7 @@ class IncrementalMapper:
         self.triangulate_new()
         self.global_ba()
         self.filter_points()
+        last_global = len(self.poses)
         since_ba = 0
         while True:
             candidates = self.next_candidates()
@@ -535,11 +584,20 @@ class IncrementalMapper:
                     progressed = True
                     self.triangulate_new()
                     since_ba += 1
-                    if since_ba >= self.opt.ba_global_every:
+                    # ba_global_every >= 1: global BA every k registrations;
+                    # 0 = adaptive (local BA each step, global on ~10% growth
+                    # like COLMAP's local/global split)
+                    if self.opt.ba_global_every > 0:
+                        run_global = since_ba >= self.opt.ba_global_every
+                    else:
+                        self.local_ba(img_id)
+                        run_global = len(self.poses) >= 1.1 * last_global + 1
+                    if run_global:
                         self.global_ba()
                         self.filter_points()
                         self.triangulate_new()
                         since_ba = 0
+                        last_global = len(self.poses)
                     break
             if not progressed:
                 break
