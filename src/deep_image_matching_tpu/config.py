@@ -448,10 +448,15 @@ class Config:
         for section, target in (("extractor", self.extractor), ("matcher", self.matcher)):
             override = cfg.get(section) or {}
             if "name" in override and override["name"] != target.get("name"):
-                raise ValueError(
-                    f"YAML {section} name '{override['name']}' does not match "
-                    f"pipeline {section} '{target.get('name')}'"
+                # reference behavior (config.py:713-740): warn on a name
+                # mismatch but apply the update - the YAML effectively swaps
+                # the component (reflection loads by name)
+                logger.warning(
+                    f"YAML {section} name '{override['name']}' differs from the "
+                    f"pipeline {section} '{target.get('name')}'; switching to "
+                    f"'{override['name']}' with the YAML options"
                 )
+                target.clear()
             target.update(override)
 
     # -- validation & paths ---------------------------------------------------

@@ -75,11 +75,16 @@ def test_yaml_override(project_dir, tmp_path):
     assert cfg.matcher["filter_threshold"] == 0.2
 
 
-def test_yaml_name_mismatch_raises(project_dir, tmp_path):
-    yaml_path = tmp_path / "bad.yaml"
-    yaml_path.write_text(yaml.safe_dump({"matcher": {"name": "superglue"}}))
-    with pytest.raises(ValueError):
-        Config(args=_base_args(project_dir, config_file=str(yaml_path)))
+def test_yaml_name_mismatch_swaps_component(project_dir, tmp_path):
+    # reference behavior (config.py:713-740): a mismatched name warns and
+    # switches the component rather than raising
+    yaml_path = tmp_path / "swap.yaml"
+    yaml_path.write_text(
+        yaml.safe_dump({"matcher": {"name": "superglue", "sinkhorn_iterations": 50}})
+    )
+    cfg = Config(args=_base_args(project_dir, config_file=str(yaml_path)))
+    assert cfg.matcher["name"] == "superglue"
+    assert cfg.matcher["sinkhorn_iterations"] == 50
 
 
 def test_config_save_json(project_dir):
