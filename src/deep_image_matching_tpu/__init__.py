@@ -12,6 +12,20 @@ Public API parity with the reference (``__init__.py:38-44``):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Honor JAX_PLATFORMS even when a site TPU platform plugin would otherwise
+# claim the device regardless of the env var (observed with the tunneled
+# 'axon' plugin). Must happen before the first jax backend use; jax.config
+# wins over plugin auto-selection where the env var alone does not.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - jax absent or already initialized
+        pass
+
 from .config import Config, confs, opt_zoo  # noqa: F401
 from .constants import (  # noqa: F401
     GeometricVerification,
