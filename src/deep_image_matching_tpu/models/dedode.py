@@ -192,7 +192,9 @@ def detect(
     x = (idx % W).astype(jnp.float32)
     y = (idx // W).astype(jnp.float32)
     conf = jnp.take_along_axis(p.reshape(B, H * W), idx, axis=1)
-    valid = vals > 0
+    # reference semantics (DeDoDe/utils.py:179-185 with sample_topk=True):
+    # exactly num_keypoints are kept, no score-based validity filtering
+    valid = jnp.ones(vals.shape, bool)
     return jnp.stack([x, y], -1), conf, valid
 
 
