@@ -48,6 +48,39 @@ def _load():
     return _PARAMS
 
 
+_KEYNET_PARAMS = "unset"
+
+
+def _load_keynet():
+    """Learned KeyNet response weights, or None to fall back to the
+    weight-free determinant-of-Hessian detector."""
+    global _KEYNET_PARAMS
+    if _KEYNET_PARAMS != "unset":
+        return _KEYNET_PARAMS
+    from ..models import keynet as kn
+
+    wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
+    for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
+        for name in ("keynet.pth", "keynet_pytorch.pth", "keynet_pytorch.ckpt"):
+            cand = base / name
+            if cand.exists():
+                import torch
+
+                ckpt = torch.load(str(cand), map_location="cpu")
+                sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+                try:
+                    _KEYNET_PARAMS = kn.keynet_params_from_torch(sd)
+                    logger.info(f"Loaded KeyNet weights from {cand}")
+                    return _KEYNET_PARAMS
+                except KeyError as e:
+                    logger.warning(f"KeyNet checkpoint {cand} not convertible: {e}")
+    logger.info(
+        "No KeyNet weights found; using the weight-free DoH detection stage."
+    )
+    _KEYNET_PARAMS = None
+    return _KEYNET_PARAMS
+
+
 class KeyNetAffNetHardNetExtractor(ExtractorBase):
     default_conf = {
         "n_features": 4000,
@@ -62,6 +95,13 @@ class KeyNetAffNetHardNetExtractor(ExtractorBase):
         self.params = _load()
         self.n_features = int(self.conf.get("n_features", 4000))
         self.upright = bool(self.conf.get("upright", False))
+        # detector: "keynet" (learned response, needs weights), "doh"
+        # (weight-free), or "auto" = keynet when weights are available
+        requested = str(self.conf.get("detector", "auto"))
+        self.keynet_params = _load_keynet() if requested != "doh" else None
+        if requested == "keynet" and self.keynet_params is None:
+            logger.warning("detector=keynet requested but no weights; using doh")
+        self.detector = "keynet" if self.keynet_params is not None else "doh"
 
     def _extract(self, image: np.ndarray) -> FeaturesDict:
         import jax.numpy as jnp
@@ -74,6 +114,7 @@ class KeyNetAffNetHardNetExtractor(ExtractorBase):
             self.params, jnp.asarray(image[None].astype(np.float32)),
             jnp.asarray([[h, w]], np.int32),
             max_keypoints=cap, upright=self.upright,
+            detector=self.detector, keynet_params=self.keynet_params,
         )
         out = {k: np.asarray(v) for k, v in out.items()}
         m = out["mask"][0]

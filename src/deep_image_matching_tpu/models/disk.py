@@ -61,11 +61,34 @@ def init_params(key) -> Params:
 
 def params_from_torch(state_dict) -> Params:
     """EXPERIMENTAL: map a kornia DISK checkpoint; verified structurally
-    (shape-checked) only — see module docstring."""
+    (shape-checked) only — see module docstring.
+
+    Conv weights are taken in checkpoint order; each conv's PReLU gate
+    slope is recovered from the nearest following 1-d ``*.weight`` tensor
+    whose length matches the conv's output channels (PReLU weights are the
+    only 1-d weight tensors in DISK's U-Net: norms are affine-free
+    InstanceNorm), falling back to the 0.25 PReLU init when absent.
+    """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
-    convs = sorted(k for k in sd if k.endswith(".weight") and sd[k].ndim == 4)
+    ordered = list(sd.keys())
+    convs = [k for k in ordered if k.endswith(".weight") and sd[k].ndim == 4]
+    prelus = [
+        k for k in ordered
+        if k.endswith(".weight") and sd[k].ndim == 1
+        and not any(s in k for s in ("running_mean", "running_var"))
+        and k.replace(".weight", ".running_mean") not in sd
+    ]
     down_keys = convs[: len(DOWN)]
     up_keys = convs[len(DOWN) : len(DOWN) + len(UP)]
+
+    def prelu_for(conv_key, co):
+        ci = ordered.index(conv_key)
+        for k in prelus:
+            if ordered.index(k) > ci and sd[k].shape == (co,):
+                prelus.remove(k)
+                return jnp.asarray(sd[k], jnp.float32)
+        return jnp.full((co,), 0.25, jnp.float32)
+
     params: Params = {"down": [], "up": []}
     for group, keys in (("down", down_keys), ("up", up_keys)):
         for k in keys:
@@ -75,7 +98,7 @@ def params_from_torch(state_dict) -> Params:
             params[group].append({
                 "w": jnp.asarray(w, jnp.float32),
                 "b": jnp.asarray(sd.get(f"{base}.bias", np.zeros(co)), jnp.float32),
-                "prelu": jnp.full((co,), 0.25, jnp.float32),
+                "prelu": prelu_for(k, co),
             })
     return params
 

@@ -216,17 +216,28 @@ def extract_oriented_patches(
     return jax.vmap(per_image)(images, kpts, sigmas, angles)
 
 
-@functools.partial(jax.jit, static_argnames=("max_keypoints", "upright"))
+@functools.partial(
+    jax.jit, static_argnames=("max_keypoints", "upright", "detector")
+)
 def keynet_hardnet_extract(
     params: Params,
     images: jnp.ndarray,    # (B, H, W) grayscale
     valid_hw: jnp.ndarray,
     max_keypoints: int = 4000,
     upright: bool = False,
+    detector: str = "doh",
+    keynet_params: Params | None = None,
 ) -> Dict[str, jnp.ndarray]:
-    kpts, scores, sigmas, valid = multiscale_detect(
-        images, valid_hw, max_keypoints
-    )
+    if detector == "keynet":
+        from .keynet import keynet_multiscale_detect
+
+        kpts, scores, sigmas, valid = keynet_multiscale_detect(
+            keynet_params, images, valid_hw, max_keypoints
+        )
+    else:
+        kpts, scores, sigmas, valid = multiscale_detect(
+            images, valid_hw, max_keypoints
+        )
     if upright:
         angles = jnp.zeros(kpts.shape[:2], jnp.float32)
     else:
