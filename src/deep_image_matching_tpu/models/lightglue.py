@@ -209,9 +209,23 @@ def _linear(x, p):
     return y
 
 
-def _ffn(x, msg, p):
+def _ffn(x, msg, p, impl: str = "xla"):
     """x + FFN(concat(x, msg)): Linear -> LayerNorm -> GELU -> Linear.
-    LayerNorm statistics and GELU run in f32 regardless of compute dtype."""
+    LayerNorm statistics and GELU run in f32 regardless of compute dtype.
+
+    impl='fused' streams row tiles through the Pallas kernel
+    (``ops/pallas_ffn.py``) so the (B, K, 2D) f32 intermediate never hits
+    HBM — measured 0.73 -> ~0.2 ms per call on v5e at B=16, K=2048."""
+    B, K, D = x.shape
+    if impl == "fused" and D % 128 == 0 and (B * K) % 128 == 0:
+        from ..ops.pallas_ffn import ffn_fused
+
+        b1 = p["ffn1"].get("b", jnp.zeros(p["ffn1"]["w"].shape[1], x.dtype))
+        b2 = p["ffn2"].get("b", jnp.zeros(p["ffn2"]["w"].shape[1], x.dtype))
+        return ffn_fused(
+            x, msg, p["ffn1"]["w"], b1,
+            p["ln"]["g"], p["ln"]["b"], p["ffn2"]["w"], b2,
+        )
     h = _linear(jnp.concatenate([x, msg.astype(x.dtype)], axis=-1), p["ffn1"])
     h32 = h.astype(jnp.float32)
     mu = h32.mean(-1, keepdims=True)
@@ -242,7 +256,7 @@ def _merge(x):
     return x.transpose(0, 2, 1, 3).reshape(B, N, H * hd)
 
 
-def _self_block(x, enc, mask, p, num_heads, attn_impl="xla"):
+def _self_block(x, enc, mask, p, num_heads, attn_impl="xla", ffn_impl="xla"):
     qkv = _linear(x, p["qkv"])  # (B, N, 3D)
     B, N, _ = qkv.shape
     D = x.shape[-1]
@@ -254,10 +268,10 @@ def _self_block(x, enc, mask, p, num_heads, attn_impl="xla"):
     k = _apply_rotary(k, cos, sin)
     ctx = _attention(q, k, v, mask, q_mask=mask, impl=attn_impl)
     msg = _linear(_merge(ctx), p["out"])
-    return _ffn(x, msg, p)
+    return _ffn(x, msg, p, ffn_impl)
 
 
-def _cross_block(x0, x1, mask0, mask1, p, num_heads, attn_impl="xla"):
+def _cross_block(x0, x1, mask0, mask1, p, num_heads, attn_impl="xla", ffn_impl="xla"):
     qk0 = _heads(_linear(x0, p["qk"]), num_heads)
     qk1 = _heads(_linear(x1, p["qk"]), num_heads)
     v0 = _heads(_linear(x0, p["v"]), num_heads)
@@ -282,7 +296,7 @@ def _cross_block(x0, x1, mask0, mask1, p, num_heads, attn_impl="xla"):
         m1 = jnp.einsum("bhij,bhjd->bhid", a10, v0, preferred_element_type=jnp.float32)
     m0 = _linear(_merge(m0.astype(v1.dtype)), p["out"])
     m1 = _linear(_merge(m1.astype(v0.dtype)), p["out"])
-    return _ffn(x0, m0, p), _ffn(x1, m1, p)
+    return _ffn(x0, m0, p, ffn_impl), _ffn(x1, m1, p, ffn_impl)
 
 
 def _log_assignment(desc0, desc1, mask0, mask1, p):
@@ -344,6 +358,7 @@ def forward_impl(
     compute_dtype: str = "float32",
     attn_impl: str = "xla",
     assignment_impl: str = "dense",
+    ffn_impl: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Batched LightGlue matching. ``depth`` truncates the scan (compiled
     shallow variants replace per-pair early exit). ``compute_dtype``
@@ -381,12 +396,19 @@ def forward_impl(
     # NOTE: running both images' self-attention as one concatenated 2B batch
     # was measured SLOWER on v5e (concat/split HBM copies outweigh the larger
     # kernel): 191 ms vs 177 ms per 32-pair batch. Keep separate calls.
+    if ffn_impl == "auto":
+        # fused Pallas FFN wherever the flash attention kernel is in use
+        ffn_impl = "fused" if attn_impl == "flash" else "xla"
+
     def body(carry, layer):
         d0, d1 = carry
-        d0 = _self_block(d0, enc0, mask0, layer["self"], num_heads, attn_impl)
-        d1 = _self_block(d1, enc1, mask1, layer["self"], num_heads, attn_impl)
+        d0 = _self_block(d0, enc0, mask0, layer["self"], num_heads, attn_impl,
+                         ffn_impl)
+        d1 = _self_block(d1, enc1, mask1, layer["self"], num_heads, attn_impl,
+                         ffn_impl)
         d0, d1 = _cross_block(
-            d0, d1, mask0, mask1, layer["cross"], num_heads, attn_impl
+            d0, d1, mask0, mask1, layer["cross"], num_heads, attn_impl,
+            ffn_impl
         )
         return (d0, d1), None
 
@@ -421,7 +443,7 @@ forward = jax.jit(
     forward_impl,
     static_argnames=(
         "num_heads", "filter_threshold", "depth", "compute_dtype", "attn_impl",
-        "assignment_impl",
+        "assignment_impl", "ffn_impl",
     ),
 )
 

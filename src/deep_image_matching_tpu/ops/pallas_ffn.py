@@ -1,0 +1,112 @@
+"""Fused transformer FFN as a Pallas TPU kernel.
+
+LightGlue's per-block FFN ``x + W2 . gelu(LN(W1 . [x|msg] + b1))``
+(reference ``LightGlue/lightglue/lightglue.py:129-243`` TransformerLayer
+ffn) is called four times per layer (self/cross x two images). As separate
+XLA ops the chain runs at ~35 TF/s on v5e: the f32 LayerNorm + exact-erf
+GELU between the two matmuls costs several full HBM passes over a
+(B, K, 2D) f32 intermediate. This kernel streams row tiles: both matmuls,
+the LayerNorm, the GELU, and the residual add happen per-tile in VMEM, so
+the 2D-wide intermediate never exists in HBM.
+
+The concat is algebraic: [x|msg] @ W1 = x @ W1[:D] + msg @ W1[D:], which
+keeps the inputs as two clean (TM, D) tiles.
+
+Numerics match the XLA path: f32 matmul accumulation, LayerNorm statistics
+and exact (erf) GELU in f32, bf16 tile feeds to the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """f32 erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7; the
+    erf primitive has no Pallas TPU lowering)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _ffn_kernel(x_ref, msg_ref, w1a_ref, w1b_ref, b1_ref, g_ref, beta_ref,
+                w2_ref, b2_ref, out_ref):
+    x = x_ref[...]          # (TM, D) compute dtype
+    msg = msg_ref[...]      # (TM, D)
+    h = jnp.dot(x, w1a_ref[...], preferred_element_type=jnp.float32)
+    h += jnp.dot(msg, w1b_ref[...], preferred_element_type=jnp.float32)
+    h += b1_ref[...].astype(jnp.float32)  # (TM, 2D) f32
+    # LayerNorm over the feature axis, f32 statistics
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    hc = h - mu
+    var = jnp.mean(hc * hc, axis=-1, keepdims=True)
+    hn = hc * jax.lax.rsqrt(var + 1e-5)
+    hn = hn * g_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
+    # exact GELU (torch nn.GELU default): 0.5 h (1 + erf(h / sqrt(2)))
+    act = 0.5 * hn * (1.0 + _erf(hn * 0.7071067811865476))
+    y = act.astype(x.dtype)
+    out = jnp.dot(y, w2_ref[...], preferred_element_type=jnp.float32)
+    out += b2_ref[...].astype(jnp.float32)
+    out_ref[...] = (x.astype(jnp.float32) + out).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ffn_fused(x, msg, w1, b1, g, beta, w2, b2, interpret: bool = False):
+    """``x + W2 . gelu(LN(concat(x, msg) @ W1 + b1) * g + beta) + b2``
+    with (B, K, D) inputs; returns the same shape/dtype as ``x``.
+
+    Requires D % 128 == 0 and (B*K) % 128 == 0 (guaranteed by the padded
+    feature stores); callers fall back to the XLA path otherwise.
+    """
+    B, K, D = x.shape
+    R = B * K
+    TM = 512 if R % 512 == 0 else (256 if R % 256 == 0 else 128)
+    xr = x.reshape(R, D)
+    mr = msg.reshape(R, D).astype(x.dtype)
+    w1a, w1b = w1[:D], w1[D:]
+    b1r = b1.reshape(1, -1)
+    gr = g.reshape(1, -1)
+    br = beta.reshape(1, -1)
+    b2r = b2.reshape(1, -1)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    out = pl.pallas_call(
+        _ffn_kernel,
+        grid=(R // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda i: (i, 0)),
+            pl.BlockSpec((TM, D), lambda i: (i, 0)),
+            full(w1a), full(w1b), full(b1r), full(gr), full(br),
+            full(w2), full(b2r),
+        ],
+        out_specs=pl.BlockSpec((TM, D), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((R, D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(xr, mr, w1a, w1b, b1r, gr, br, w2, b2r)
+    return out.reshape(B, K, D)
+
+
+def ffn_reference(x, msg, w1, b1, g, beta, w2, b2):
+    """Pure-XLA reference with identical numerics (for tests/CPU)."""
+    h = jnp.concatenate([x, msg.astype(x.dtype)], axis=-1) @ w1.astype(x.dtype)
+    h = h.astype(jnp.float32) + b1.astype(jnp.float32)
+    mu = h.mean(-1, keepdims=True)
+    hc = h - mu
+    var = (hc * hc).mean(-1, keepdims=True)
+    hn = hc * jax.lax.rsqrt(var + 1e-5)
+    hn = hn * g.astype(jnp.float32) + beta.astype(jnp.float32)
+    act = 0.5 * hn * (1.0 + _erf(hn * 0.7071067811865476))
+    y = act.astype(x.dtype) @ w2.astype(x.dtype)
+    return (x.astype(jnp.float32) + y.astype(jnp.float32)
+            + b2.astype(jnp.float32)).astype(x.dtype)

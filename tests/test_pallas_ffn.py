@@ -1,0 +1,73 @@
+"""Fused FFN kernel: interpret-mode parity with the XLA LightGlue FFN."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deep_image_matching_tpu.models import lightglue as lg
+from deep_image_matching_tpu.ops.pallas_ffn import ffn_fused
+
+
+def _params(rng, D):
+    return {
+        "ffn1": {
+            "w": jnp.asarray(rng.normal(size=(2 * D, 2 * D)), jnp.float32) * 0.05,
+            "b": jnp.asarray(rng.normal(size=(2 * D,)), jnp.float32) * 0.1,
+        },
+        "ln": {
+            "g": jnp.asarray(rng.random(2 * D), jnp.float32) + 0.5,
+            "b": jnp.asarray(rng.normal(size=(2 * D,)), jnp.float32) * 0.1,
+        },
+        "ffn2": {
+            "w": jnp.asarray(rng.normal(size=(2 * D, D)), jnp.float32) * 0.05,
+            "b": jnp.asarray(rng.normal(size=(D,)), jnp.float32) * 0.1,
+        },
+    }
+
+
+def test_ffn_fused_matches_xla_f32():
+    rng = np.random.default_rng(0)
+    B, K, D = 2, 256, 256
+    x = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    p = _params(rng, D)
+    ref = lg._ffn(x, m, p, "xla")
+    got = ffn_fused(
+        x, m, p["ffn1"]["w"], p["ffn1"]["b"], p["ln"]["g"], p["ln"]["b"],
+        p["ffn2"]["w"], p["ffn2"]["b"], interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ffn_fused_bf16_close():
+    rng = np.random.default_rng(1)
+    B, K, D = 1, 128, 256
+    x = jnp.asarray(rng.normal(size=(B, K, D)), jnp.bfloat16)
+    m = jnp.asarray(rng.normal(size=(B, K, D)), jnp.bfloat16)
+    p = jax.tree.map(lambda a: a.astype(jnp.bfloat16), _params(rng, D))
+    ref = np.asarray(lg._ffn(x, m, p, "xla"), np.float32)
+    got = np.asarray(
+        ffn_fused(x, m, p["ffn1"]["w"], p["ffn1"]["b"], p["ln"]["g"],
+                  p["ln"]["b"], p["ffn2"]["w"], p["ffn2"]["b"],
+                  interpret=True),
+        np.float32,
+    )
+    # bf16 rounding-order differences only
+    assert np.abs(got - ref).max() < 0.12
+    denom = np.abs(ref).mean()
+    assert np.abs(got - ref).mean() / denom < 0.02
+
+
+def test_forward_impl_accepts_ffn_impl(image_dir):
+    """ffn_impl threads through forward (xla value on CPU)."""
+    params = lg.init_params(jax.random.PRNGKey(0), n_layers=2)
+    B, K, D = 1, 128, 256
+    rng = np.random.default_rng(0)
+    kpts = jnp.asarray(rng.uniform(0, 640, (B, K, 2)), jnp.float32)
+    desc = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    mask = jnp.ones((B, K), bool)
+    size = jnp.tile(jnp.asarray([[640.0, 480.0]]), (B, 1))
+    out = lg.forward(params, kpts, kpts, desc, desc, mask, mask, size, size,
+                     ffn_impl="xla")
+    assert out["matches0"].shape == (B, K)
