@@ -37,9 +37,10 @@ def main():
     assign = "fused" if on_tpu else "dense"
     print(f"device: {dev} attn={attn} assignment={assign}", file=sys.stderr)
 
-    # B=16 measured fastest per-pair on v5e (HBM locality beats batch
-    # amortization beyond it: 206.7 pairs/s vs 200.6 at B=32, 172 at B=128)
-    B, K, D = 16, 2048, 256
+    # B=4 measured fastest per-pair on v5e with the fused FFN kernel
+    # (258 pairs/s vs 252 at B=8, 222 at B=16, 218 at B=32 - VMEM locality
+    # beats batch amortization)
+    B, K, D = 4, 2048, 256
     params = lg.init_params(jax.random.PRNGKey(0), n_layers=9)
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     kpts = jax.random.uniform(k1, (B, K, 2), jnp.float32, 0, 2000)
