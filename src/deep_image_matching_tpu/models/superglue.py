@@ -190,6 +190,16 @@ def _mha(x, source, q_mask, key_mask, p, num_heads, attn_impl="xla"):
 def _prop(x, source, q_mask, key_mask, p, num_heads, attn_impl="xla"):
     """x + MLP([x, attn_message]) (AttentionalPropagation)."""
     msg = _mha(x, source, q_mask, key_mask, p, num_heads, attn_impl)
+    B, K, D = x.shape
+    if attn_impl == "flash" and D % 128 == 0 and (B * K) % 128 == 0:
+        # same streaming-row-tile kernel as the LightGlue FFN, relu mode
+        from ..ops.pallas_ffn import ffn_fused
+
+        zeros = jnp.zeros((2 * D,), x.dtype)
+        return ffn_fused(
+            x, msg, p["mlp1"]["w"], p["mlp1"]["b"], zeros, zeros,
+            p["mlp2"]["w"], p["mlp2"]["b"], mode="relu",
+        )
     h = _linear(jnp.concatenate([x, msg], axis=-1), p["mlp1"])
     h = jax.nn.relu(h)
     return x + _linear(h, p["mlp2"])

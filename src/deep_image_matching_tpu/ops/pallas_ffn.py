@@ -38,30 +38,38 @@ def _erf(x):
 
 
 def _ffn_kernel(x_ref, msg_ref, w1a_ref, w1b_ref, b1_ref, g_ref, beta_ref,
-                w2_ref, b2_ref, out_ref):
+                w2_ref, b2_ref, out_ref, *, mode: str):
     x = x_ref[...]          # (TM, D) compute dtype
     msg = msg_ref[...]      # (TM, D)
     h = jnp.dot(x, w1a_ref[...], preferred_element_type=jnp.float32)
     h += jnp.dot(msg, w1b_ref[...], preferred_element_type=jnp.float32)
     h += b1_ref[...].astype(jnp.float32)  # (TM, 2D) f32
-    # LayerNorm over the feature axis, f32 statistics
-    mu = jnp.mean(h, axis=-1, keepdims=True)
-    hc = h - mu
-    var = jnp.mean(hc * hc, axis=-1, keepdims=True)
-    hn = hc * jax.lax.rsqrt(var + 1e-5)
-    hn = hn * g_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
-    # exact GELU (torch nn.GELU default): 0.5 h (1 + erf(h / sqrt(2)))
-    act = 0.5 * hn * (1.0 + _erf(hn * 0.7071067811865476))
+    if mode == "ln_gelu":
+        # LayerNorm over the feature axis, f32 statistics
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        hc = h - mu
+        var = jnp.mean(hc * hc, axis=-1, keepdims=True)
+        hn = hc * jax.lax.rsqrt(var + 1e-5)
+        hn = hn * g_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
+        # exact GELU (torch nn.GELU default): 0.5 h (1 + erf(h / sqrt(2)))
+        act = 0.5 * hn * (1.0 + _erf(hn * 0.7071067811865476))
+    else:  # "relu" (SuperGlue propagation MLP; BN already folded into W1)
+        act = jnp.maximum(h, 0.0)
     y = act.astype(x.dtype)
     out = jnp.dot(y, w2_ref[...], preferred_element_type=jnp.float32)
     out += b2_ref[...].astype(jnp.float32)
     out_ref[...] = (x.astype(jnp.float32) + out).astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def ffn_fused(x, msg, w1, b1, g, beta, w2, b2, interpret: bool = False):
-    """``x + W2 . gelu(LN(concat(x, msg) @ W1 + b1) * g + beta) + b2``
-    with (B, K, D) inputs; returns the same shape/dtype as ``x``.
+@functools.partial(jax.jit, static_argnames=("interpret", "mode"))
+def ffn_fused(x, msg, w1, b1, g, beta, w2, b2, interpret: bool = False,
+              mode: str = "ln_gelu"):
+    """``x + W2 . act(concat(x, msg) @ W1 + b1) + b2`` with (B, K, D)
+    inputs; returns the same shape/dtype as ``x``.
+
+    mode='ln_gelu': act = gelu(LN(.) * g + beta) (LightGlue FFN).
+    mode='relu':    act = relu(.) (SuperGlue propagation MLP; g/beta
+                    ignored — pass ones/zeros).
 
     Requires D % 128 == 0 and (B*K) % 128 == 0 (guaranteed by the padded
     feature stores); callers fall back to the XLA path otherwise.
@@ -79,7 +87,7 @@ def ffn_fused(x, msg, w1, b1, g, beta, w2, b2, interpret: bool = False):
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
     out = pl.pallas_call(
-        _ffn_kernel,
+        functools.partial(_ffn_kernel, mode=mode),
         grid=(R // TM,),
         in_specs=[
             pl.BlockSpec((TM, D), lambda i: (i, 0)),

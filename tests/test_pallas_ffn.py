@@ -71,3 +71,28 @@ def test_forward_impl_accepts_ffn_impl(image_dir):
     out = lg.forward(params, kpts, kpts, desc, desc, mask, mask, size, size,
                      ffn_impl="xla")
     assert out["matches0"].shape == (B, K)
+
+
+def test_ffn_fused_relu_mode_matches_superglue_mlp():
+    from deep_image_matching_tpu.models import superglue as sg
+
+    rng = np.random.default_rng(2)
+    B, K, D = 1, 128, 256
+    x = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    p = {
+        "mlp1": {"w": jnp.asarray(rng.normal(size=(2 * D, 2 * D)), jnp.float32) * 0.05,
+                 "b": jnp.asarray(rng.normal(size=(2 * D,)), jnp.float32) * 0.1},
+        "mlp2": {"w": jnp.asarray(rng.normal(size=(2 * D, D)), jnp.float32) * 0.05,
+                 "b": jnp.asarray(rng.normal(size=(D,)), jnp.float32) * 0.1},
+    }
+    ref = x + sg._linear(
+        jax.nn.relu(sg._linear(jnp.concatenate([x, m], -1), p["mlp1"])),
+        p["mlp2"],
+    )
+    zeros = jnp.zeros((2 * D,), jnp.float32)
+    got = ffn_fused(x, m, p["mlp1"]["w"], p["mlp1"]["b"], zeros, zeros,
+                    p["mlp2"]["w"], p["mlp2"]["b"], interpret=True,
+                    mode="relu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
