@@ -96,3 +96,24 @@ def test_ffn_fused_relu_mode_matches_superglue_mlp():
                     mode="relu")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_lightglue_layouts_equivalent():
+    """split and stacked scan layouts produce identical outputs."""
+    params = lg.init_params(jax.random.PRNGKey(0), n_layers=3)
+    B, K, D = 2, 128, 256
+    rng = np.random.default_rng(3)
+    kpts0 = jnp.asarray(rng.uniform(0, 640, (B, K, 2)), jnp.float32)
+    kpts1 = jnp.asarray(rng.uniform(0, 640, (B, K, 2)), jnp.float32)
+    d0 = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    d1 = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    m0 = jnp.asarray(rng.random((B, K)) > 0.2)
+    m1 = jnp.asarray(rng.random((B, K)) > 0.3)
+    size = jnp.tile(jnp.asarray([[640.0, 480.0]]), (B, 1))
+    a = lg.forward(params, kpts0, kpts1, d0, d1, m0, m1, size, size,
+                   layout="split")
+    b = lg.forward(params, kpts0, kpts1, d0, d1, m0, m1, size, size,
+                   layout="stacked")
+    assert bool(jnp.all(a["matches0"] == b["matches0"]))
+    np.testing.assert_allclose(np.asarray(a["matching_scores0"]),
+                               np.asarray(b["matching_scores0"]), atol=1e-6)
