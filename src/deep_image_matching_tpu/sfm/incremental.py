@@ -277,9 +277,30 @@ class IncrementalMapper:
             self.data.pair_matches,
             key=lambda p: -len(self._pair_track_matches(*p)),
         )
-        for id0, id1 in ranked[:20]:
-            if self._try_initialize(id0, id1):
-                return True
+        opt = self.opt
+        # progressive threshold relaxation when no pair qualifies (COLMAP's
+        # mapper retries initialization with lowered requirements; small or
+        # low-texture sets legitimately have < 50 correspondences per pair)
+        schedule = [
+            (opt.init_min_matches, opt.init_min_inliers, opt.init_min_angle_deg),
+            (max(15, opt.init_min_matches // 2),
+             max(10, opt.init_min_inliers // 2),
+             max(1.0, opt.init_min_angle_deg / 2)),
+            (max(8, opt.init_min_matches // 4),
+             max(6, opt.init_min_inliers // 4),
+             max(0.5, opt.init_min_angle_deg / 4)),
+        ]
+        for round_i, (mm, mi, ma) in enumerate(schedule):
+            opt.init_min_matches, opt.init_min_inliers = mm, mi
+            opt.init_min_angle_deg = ma
+            if round_i:
+                logger.info(
+                    f"Relaxing initialization thresholds (round {round_i + 1}): "
+                    f"min_matches={mm} min_inliers={mi} min_angle={ma:.2g} deg"
+                )
+            for id0, id1 in ranked[:20]:
+                if self._try_initialize(id0, id1):
+                    return True
         return False
 
     # -- registration -----------------------------------------------------
