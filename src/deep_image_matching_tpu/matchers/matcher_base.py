@@ -220,16 +220,22 @@ class BatchedMatcher(MatcherBase):
         B = len(chunk)
         idx0 = [store.index[a] for a, _ in chunk]
         idx1 = [store.index[b] for _, b in chunk]
-        batch0 = store.gather(idx0)
-        batch1 = store.gather(idx1)
         # data-parallel over the device mesh: pad to a divisible batch and
         # shard the batch axis; XLA partitions the matching program
         mesh = get_default_mesh()
         if mesh.n_devices > 1:
+            batch0 = store.gather(idx0)
+            batch1 = store.gather(idx1)
             in0 = mesh.shard_batch(mesh.pad_batch(batch0))
             in1 = mesh.shard_batch(mesh.pad_batch(batch1))
+        elif jax.default_backend() != "cpu":
+            # single accelerator: assemble the batch on device from the
+            # HBM-resident store (features upload once, not once per pair)
+            in0 = store.gather_device(idx0)
+            in1 = store.gather_device(idx1)
         else:
-            in0, in1 = batch0, batch1
+            in0 = store.gather(idx0)
+            in1 = store.gather(idx1)
         matches0, valid = self._match_batch_arrays(in0, in1)
         matches0 = np.asarray(matches0)[:B]
         valid = np.asarray(valid)[:B]
@@ -239,10 +245,11 @@ class BatchedMatcher(MatcherBase):
 
             # matched coordinate pairs: (kpts0[i], kpts1[matches0[i]])
             K = matches0.shape[1]
-            mk0 = batch0["keypoints"]
+            mk0 = store.kpts[np.asarray(idx0)]
             gather_idx = np.clip(matches0, 0, K - 1)
             mk1 = np.take_along_axis(
-                batch1["keypoints"], gather_idx[..., None].repeat(2, -1), axis=1
+                store.kpts[np.asarray(idx1)],
+                gather_idx[..., None].repeat(2, -1), axis=1,
             )
             threshold = self.gv_threshold * GV_QUALITY_SCALES[self.quality]
             _, inl, _ = ransac_fundamental_batch(
@@ -443,6 +450,35 @@ class _PaddedFeatureStore:
             "mask": self.mask[idx],
             "image_size": self.image_size[idx],
         }
+
+    def device(self) -> Dict[str, "object"]:
+        """Device-resident copy of the padded store, uploaded once.
+
+        Each image participates in O(N) pairs under bruteforce; gathering
+        pair batches on host re-uploads its descriptors once per pair
+        (3.3 GB for 40 images / 780 pairs at K=2048). Uploading the store
+        once (84 MB for the same set) and assembling batches with an
+        on-device take() removes that traffic entirely — the TPU-native
+        analog of keeping the feature database HBM-resident.
+        """
+        if not hasattr(self, "_dev"):
+            import jax.numpy as jnp
+
+            self._dev = {
+                "keypoints": jnp.asarray(self.kpts),
+                "descriptors": jnp.asarray(self.desc),
+                "scores": jnp.asarray(self.scores),
+                "mask": jnp.asarray(self.mask),
+                "image_size": jnp.asarray(self.image_size),
+            }
+        return self._dev
+
+    def gather_device(self, idx: List[int]) -> Dict[str, "object"]:
+        import jax.numpy as jnp
+
+        dev = self.device()
+        ind = jnp.asarray(np.asarray(idx, np.int32))
+        return {k: jnp.take(v, ind, axis=0) for k, v in dev.items()}
 
     def keypoints_of(self, i: int) -> np.ndarray:
         return self.kpts[i, : self.counts[i]]
