@@ -97,6 +97,11 @@ def dense_forward(
     normalized). ``compute_dtype='bfloat16'`` runs the conv stack in bf16;
     the detection softmax and descriptor normalization stay f32."""
     cdt = jnp.dtype(compute_dtype)
+    if images.dtype == jnp.uint8:
+        # uint8 device upload (4x less host->device traffic than f32);
+        # normalize on device in f32 so results match the old host-side
+        # f32/255 bitwise, then fall through to the compute-dtype cast
+        images = images.astype(jnp.float32) / 255.0
     if cdt != jnp.float32:
         params = jax.tree.map(
             lambda v: v.astype(cdt) if v.dtype == jnp.float32 else v, params
@@ -209,7 +214,9 @@ class SuperPointRunner:
 
         prepped = []
         for p in paths:
-            img = read_image(p, grayscale=True).astype(np.float32) / 255.0
+            # stay uint8 on host: the device program normalizes, and uint8
+            # uploads are 4x smaller than f32
+            img = read_image(p, grayscale=True)
             h, w = img.shape
             scale = 1.0
             if self.resize_max and max(h, w) > self.resize_max:
@@ -222,7 +229,8 @@ class SuperPointRunner:
         return self.extract_arrays(prepped)
 
     def extract_arrays(self, prepped) -> list:
-        """prepped: list of (float image (h,w), scale, orig (w,h))."""
+        """prepped: list of (image (h,w) uint8 or float in [0,1], scale,
+        orig (w,h))."""
         pad_to = 64  # shape-bucket granularity (multiple of 8)
         buckets: Dict[Tuple[int, int], list] = {}
         for i, (img, _, _) in enumerate(prepped):
@@ -230,13 +238,20 @@ class SuperPointRunner:
             key = (-(-h // pad_to) * pad_to, -(-w // pad_to) * pad_to)
             buckets.setdefault(key, []).append(i)
         results = [None] * len(prepped)
+        batch_dtype = (
+            np.uint8
+            if all(p[0].dtype == np.uint8 for p in prepped)
+            else np.float32
+        )
         for (ph, pw), idxs in buckets.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
-                batch = np.zeros((len(chunk), ph, pw, 1), np.float32)
+                batch = np.zeros((len(chunk), ph, pw, 1), batch_dtype)
                 vhw = np.zeros((len(chunk), 2), np.int32)
                 for j, i in enumerate(chunk):
                     img = prepped[i][0]
+                    if batch_dtype == np.float32 and img.dtype == np.uint8:
+                        img = img.astype(np.float32) / 255.0
                     h, w = img.shape
                     batch[j, :h, :w, 0] = img
                     vhw[j] = (h, w)
