@@ -569,18 +569,20 @@ class LightGlueRunner:
         """Number of raw matches per (i, j) pair — used by the low-res
         pair-selection probe."""
         counts = []
+        store = self._device_store(feats)
         for start in range(0, len(pairs), self.batch_size):
             chunk = pairs[start : start + self.batch_size]
-            out, _ = self._run_chunk(feats, chunk)
+            out, _ = self._run_chunk(feats, chunk, store)
             counts.extend(int(v.sum()) for v in np.asarray(out["valid0"]))
         return counts
 
     def match_pairs(self, feats: list, pairs: list) -> list:
         """(M, 2) index arrays per pair."""
         all_matches = []
+        store = self._device_store(feats)
         for start in range(0, len(pairs), self.batch_size):
             chunk = pairs[start : start + self.batch_size]
-            out, _ = self._run_chunk(feats, chunk)
+            out, _ = self._run_chunk(feats, chunk, store)
             matches0 = np.asarray(out["matches0"])
             valid0 = np.asarray(out["valid0"])
             for b in range(len(chunk)):
@@ -590,39 +592,55 @@ class LightGlueRunner:
                 )
         return all_matches
 
-    def _run_chunk(self, feats: list, chunk: list):
-        cap = 0
-        for i, j in chunk:
-            cap = max(cap, len(feats[i]["keypoints"]), len(feats[j]["keypoints"]))
+    def _device_store(self, feats: list):
+        """Stack all images' padded features once as device arrays.
+
+        Pair chunks then assemble on device with take() — each image's
+        descriptors cross host->device once, not once per pair (the O(N^2)
+        low-res probe otherwise re-uploads every image ~N times)."""
+        cap = max(
+            (len(f["keypoints"]) for f in feats), default=1
+        )
         cap = max(128, ((cap + 127) // 128) * 128)
-        B = len(chunk)
-        D = feats[chunk[0][0]]["descriptors"].shape[-1]
+        dims = [f["descriptors"].shape[-1] for f in feats
+                if len(f["keypoints"])]
+        D = dims[0] if dims else 256
+        n = len(feats)
+        kpts = np.zeros((n, cap, 2), np.float32)
+        desc = np.zeros((n, cap, D), np.float32)
+        mask = np.zeros((n, cap), bool)
+        size = np.zeros((n, 2), np.float32)
+        for i, f in enumerate(feats):
+            c = len(f["keypoints"])
+            kpts[i, :c] = f["keypoints"]
+            if c:
+                desc[i, :c] = f["descriptors"]
+            mask[i, :c] = True
+            size[i] = f["image_size"]
+        return {
+            "kpts": jnp.asarray(kpts), "desc": jnp.asarray(desc),
+            "mask": jnp.asarray(mask), "size": jnp.asarray(size),
+            "cap": cap,
+        }
 
-        def pack(ids):
-            kpts = np.zeros((B, cap, 2), np.float32)
-            desc = np.zeros((B, cap, D), np.float32)
-            mask = np.zeros((B, cap), bool)
-            size = np.zeros((B, 2), np.float32)
-            for b, i in enumerate(ids):
-                f = feats[i]
-                n = len(f["keypoints"])
-                kpts[b, :n] = f["keypoints"]
-                desc[b, :n] = f["descriptors"]
-                mask[b, :n] = True
-                size[b] = f["image_size"]
-            return kpts, desc, mask, size
-
-        k0, d0, m0, s0 = pack([i for i, _ in chunk])
-        k1, d1, m1, s1 = pack([j for _, j in chunk])
+    def _run_chunk(self, feats: list, chunk: list, store=None):
+        if store is None:
+            store = self._device_store(feats)
+        i0 = jnp.asarray(np.array([i for i, _ in chunk], np.int32))
+        i1 = jnp.asarray(np.array([j for _, j in chunk], np.int32))
+        take = lambda a, ind: jnp.take(a, ind, axis=0)
         out = forward(
             self.params,
-            jnp.asarray(k0), jnp.asarray(k1),
-            jnp.asarray(d0), jnp.asarray(d1),
-            jnp.asarray(m0), jnp.asarray(m1),
-            jnp.asarray(s0), jnp.asarray(s1),
+            take(store["kpts"], i0), take(store["kpts"], i1),
+            take(store["desc"], i0), take(store["desc"], i1),
+            take(store["mask"], i0), take(store["mask"], i1),
+            take(store["size"], i0), take(store["size"], i1),
             filter_threshold=self.filter_threshold,
             depth=self.depth,
+            compute_dtype=(
+                "bfloat16" if jax.default_backend() != "cpu" else "float32"
+            ),
             attn_impl=default_attn_impl(),
             assignment_impl=default_assignment_impl(),
         )
-        return out, cap
+        return out, store["cap"]
