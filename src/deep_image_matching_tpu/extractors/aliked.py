@@ -82,7 +82,8 @@ class ALIKEDExtractor(ExtractorBase):
             return super().extract_batch(images, feature_path)
         prepped = []
         for img in images:
-            arr = read_image(img.path, grayscale=False).astype(np.float32) / 255.0
+            # uint8 end-to-end on host; the device program normalizes
+            arr = read_image(img.path, grayscale=False)
             h, w = arr.shape[:2]
             if self.quality is not Quality.HIGH:
                 nw, nh = get_size_by_quality(self.quality, (w, h))
@@ -113,10 +114,17 @@ class ALIKEDExtractor(ExtractorBase):
         for (ph, pw), idxs in buckets.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
-                batch = np.zeros((len(chunk), ph, pw, 3), np.float32)
+                batch_dtype = (
+                    np.uint8
+                    if all(p[0].dtype == np.uint8 for p in prepped)
+                    else np.float32
+                )
+                batch = np.zeros((len(chunk), ph, pw, 3), batch_dtype)
                 vhw = np.zeros((len(chunk), 2), np.int32)
                 for j, i in enumerate(chunk):
                     arr = prepped[i][0]
+                    if batch_dtype == np.float32 and arr.dtype == np.uint8:
+                        arr = arr.astype(np.float32) / 255.0
                     h, w = arr.shape[:2]
                     if arr.ndim == 2:
                         arr = np.repeat(arr[..., None], 3, axis=-1)

@@ -79,7 +79,9 @@ class XFeatExtractor(ExtractorBase):
 
         prepped = []
         for img in images:
-            arr = read_image(img.path, grayscale=True).astype(np.float32)
+            # uint8 end-to-end; the model's input instance-norm makes
+            # the scale irrelevant and uint8 uploads are 4x smaller
+            arr = read_image(img.path, grayscale=True)
             h, w = arr.shape
             if self.quality is not Quality.HIGH:
                 nw, nh = get_size_by_quality(self.quality, (w, h))
@@ -95,7 +97,12 @@ class XFeatExtractor(ExtractorBase):
         for (ph, pw), idxs in buckets.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
-                batch = np.zeros((len(chunk), ph, pw, 1), np.float32)
+                batch_dtype = (
+                    np.uint8
+                    if all(p[0].dtype == np.uint8 for p in prepped)
+                    else np.float32
+                )
+                batch = np.zeros((len(chunk), ph, pw, 1), batch_dtype)
                 vhw = np.zeros((len(chunk), 2), np.int32)
                 for j, i in enumerate(chunk):
                     arr = prepped[i][0]

@@ -166,6 +166,10 @@ def dense_forward(
     downstream DKD/SDDH stay f32."""
     selu = jax.nn.selu
     cdt = jnp.dtype(compute_dtype)
+    if images.dtype == jnp.uint8:
+        # uint8 upload (4x less host->device traffic); f32 normalize on
+        # device matches the old host-side f32/255 bitwise
+        images = images.astype(jnp.float32) / 255.0
     if cdt != jnp.float32:
         params = jax.tree.map(
             lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, params

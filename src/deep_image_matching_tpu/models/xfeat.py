@@ -140,6 +140,10 @@ def dense_forward(params: Params, images: jnp.ndarray):
     Returns (feats (B, H/8, W/8, 64) unnormalized, kpt_logits (B, H/8, W/8, 65),
     heatmap (B, H/8, W/8, 1))."""
     x = images
+    if x.dtype == jnp.uint8:
+        # uint8 upload (4x less transfer); the instance norm below makes
+        # the 0-255 vs [0,1] scale irrelevant, matching the f32 path
+        x = x.astype(jnp.float32)
     mu = x.mean(axis=(1, 2), keepdims=True)
     var = x.var(axis=(1, 2), keepdims=True)
     x = (x - mu) * jax.lax.rsqrt(var + 1e-5)  # InstanceNorm2d(1), no affine
