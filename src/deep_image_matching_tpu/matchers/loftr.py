@@ -73,7 +73,9 @@ class LOFTRMatcher(DetectorFreeMatcher):
         self.match_threshold = float(self.conf.get("match_threshold", 0.2))
 
     def _load(self, path) -> np.ndarray:
-        img = read_image(path, grayscale=True).astype(np.float32) / 255.0
+        # stays uint8: the device program normalizes, and uint8
+        # uploads/cache entries are 4x smaller than f32
+        img = read_image(path, grayscale=True)
         h, w = img.shape
         if self.quality is not Quality.HIGH:
             nw, nh = get_size_by_quality(self.quality, (w, h))
@@ -87,6 +89,29 @@ class LOFTRMatcher(DetectorFreeMatcher):
         hh, ww = img.shape
         return img[: hh - hh % 8, : ww - ww % 8]  # crop to /8 (avoid pad borders)
 
+    def _device_image(self, path):
+        """Per-image device cache: under bruteforce each image appears in
+        O(N) pairs; caching the uploaded (uint8) array means one
+        host->device copy per image instead of one per pair. FIFO-capped
+        (``image_cache_mb``, default 512)."""
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_img_cache"):
+            self._img_cache: dict = {}
+            self._img_cache_bytes = 0
+        key = str(path)
+        if key not in self._img_cache:
+            arr = self._load(path)
+            dev = jnp.asarray(arr[..., None])
+            cap = int(self.conf.get("image_cache_mb", 512)) * (1 << 20)
+            while self._img_cache and self._img_cache_bytes + arr.nbytes > cap:
+                old, (olddev, oldbytes) = next(iter(self._img_cache.items()))
+                del self._img_cache[old]
+                self._img_cache_bytes -= oldbytes
+            self._img_cache[key] = (dev, arr.nbytes)
+            self._img_cache_bytes += arr.nbytes
+        return self._img_cache[key][0]
+
     def _match_images(self, path0, path1):
         return self._match_images_batch([(path0, path1)])[0]
 
@@ -98,13 +123,19 @@ class LOFTRMatcher(DetectorFreeMatcher):
 
         from ..models import loftr as loftr_model
 
-        loaded, fulls = {}, {}
+        if not hasattr(self, "_full_shapes"):
+            self._full_shapes = {}
+        loaded = {}
         for p0, p1 in paths:
             for p in (p0, p1):
                 key = str(p)
                 if key not in loaded:
-                    loaded[key] = self._load(p)
-                    fulls[key] = read_image(p, grayscale=True).shape
+                    loaded[key] = self._device_image(p)
+                    if key not in self._full_shapes:
+                        self._full_shapes[key] = read_image(
+                            p, grayscale=True
+                        ).shape
+        fulls = self._full_shapes
         buckets: dict = {}
         for i, (p0, p1) in enumerate(paths):
             buckets.setdefault(
@@ -112,11 +143,13 @@ class LOFTRMatcher(DetectorFreeMatcher):
             ).append(i)
         out_list = [None] * len(paths)
         for idxs in buckets.values():
-            img0 = np.stack([loaded[str(paths[i][0])] for i in idxs])[..., None]
-            img1 = np.stack([loaded[str(paths[i][1])] for i in idxs])[..., None]
+            # stack on device: the cached per-image arrays never re-cross
+            # the host->device link
+            img0 = jnp.stack([loaded[str(paths[i][0])] for i in idxs])
+            img1 = jnp.stack([loaded[str(paths[i][1])] for i in idxs])
             out = loftr_model.match_pair(
                 self.params,
-                jnp.asarray(img0), jnp.asarray(img1),
+                img0, img1,
                 max_matches=self.max_matches,
                 threshold=self.match_threshold,
                 compute_dtype=str(self.conf.get("compute_dtype", "float32")),
@@ -127,8 +160,8 @@ class LOFTRMatcher(DetectorFreeMatcher):
                 m = out["mask"][b]
                 k0 = out["keypoints0"][b][m]
                 k1 = out["keypoints1"][b][m]
-                h0, w0 = loaded[p0].shape
-                h1, w1 = loaded[p1].shape
+                h0, w0 = loaded[p0].shape[:2]
+                h1, w1 = loaded[p1].shape[:2]
                 s0 = np.array([fulls[p0][1] / w0, fulls[p0][0] / h0], np.float32)
                 s1 = np.array([fulls[p1][1] / w1, fulls[p1][0] / h1], np.float32)
                 out_list[i] = (k0 * s0, k1 * s1)

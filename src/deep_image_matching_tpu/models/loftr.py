@@ -457,6 +457,12 @@ def match_pair_impl(
     conf."""
     B, H0, W0, _ = images0.shape
     H1, W1 = images1.shape[1:3]
+    if images0.dtype == jnp.uint8:
+        # uint8 device upload/cache; f32 normalize on device matches the
+        # old host-side f32/255 bitwise
+        images0 = images0.astype(jnp.float32) / 255.0
+    if images1.dtype == jnp.uint8:
+        images1 = images1.astype(jnp.float32) / 255.0
     cdt = jnp.dtype(compute_dtype)
     if cdt != jnp.float32:
         params = jax.tree.map(

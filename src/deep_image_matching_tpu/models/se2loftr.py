@@ -236,6 +236,10 @@ def match_pair_impl(
     """Full SE2-LoFTR matching — the transformer / coarse / fine stages are
     the shared LoFTR implementation (temp_bug_fix=True per the 8rot config)."""
     B = images0.shape[0]
+    if images0.dtype == jnp.uint8:
+        images0 = images0.astype(jnp.float32) / 255.0
+    if images1.dtype == jnp.uint8:
+        images1 = images1.astype(jnp.float32) / 255.0
     fc0_map, ff0 = backbone_forward(params, images0)
     fc1_map, ff1 = backbone_forward(params, images1)
     h0c, w0c = fc0_map.shape[1:3]
