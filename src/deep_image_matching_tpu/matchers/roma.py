@@ -100,6 +100,40 @@ class RomaMatcher(DetectorFreeMatcher):
     def _match_images(self, path0, path1) -> Tuple[np.ndarray, np.ndarray]:
         return self._match_images_batch([(path0, path1)])[0]
 
+    def _full_shape(self, path):
+        if not hasattr(self, "_full_shapes"):
+            self._full_shapes = {}
+        key = str(path)
+        if key not in self._full_shapes:
+            self._full_shapes[key] = read_image(path, grayscale=False).shape[:2]
+        return self._full_shapes[key]
+
+    def _dev_img(self, path, res: int):
+        """Device-cached uint8 image at a fixed square resolution (each
+        image appears in O(N) pairs under bruteforce; cache = one upload
+        per image per resolution). FIFO-capped via matcher conf
+        ``image_cache_mb`` (default 512)."""
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_img_cache"):
+            self._img_cache = {}
+            self._img_cache_bytes = 0
+        key = (str(path), res)
+        if key not in self._img_cache:
+            full = read_image(path, grayscale=False)
+            if not hasattr(self, "_full_shapes"):
+                self._full_shapes = {}
+            self._full_shapes.setdefault(str(path), full.shape[:2])
+            arr = resize_image(full, (res, res))
+            cap = int(self.conf.get("image_cache_mb", 512)) * (1 << 20)
+            while self._img_cache and self._img_cache_bytes + arr.nbytes > cap:
+                old, (olddev, oldbytes) = next(iter(self._img_cache.items()))
+                del self._img_cache[old]
+                self._img_cache_bytes -= oldbytes
+            self._img_cache[key] = (jnp.asarray(arr), arr.nbytes)
+            self._img_cache_bytes += arr.nbytes
+        return self._img_cache[key][0]
+
     def _match_images_batch(self, paths):
         """All pairs share the fixed coarse/upsample resolutions, so every
         chunk is one bucket: the warps for B pairs compute as one jitted
@@ -117,30 +151,28 @@ class RomaMatcher(DetectorFreeMatcher):
                 out.extend(self._match_images_batch(paths[s : s + B_cap]))
             return out
 
-        ims = []
-        sizes = []
-        for p0, p1 in paths:
-            imA = read_image(p0, grayscale=False).astype(np.float32) / 255.0
-            imB = read_image(p1, grayscale=False).astype(np.float32) / 255.0
-            sizes.append((imA.shape[:2], imB.shape[:2]))
-            ims.append((imA, imB))
-        a = np.stack([resize_image(x[0], (self.res, self.res)) for x in ims])
-        b = np.stack([resize_image(x[1], (self.res, self.res)) for x in ims])
+        sizes = [
+            (self._full_shape(p0), self._full_shape(p1)) for p0, p1 in paths
+        ]
+        # device-cached uint8 images at the fixed coarse/upsample
+        # resolutions: one upload per (image, res), not one per pair
+        a = jnp.stack([self._dev_img(p0, self.res) for p0, _ in paths])
+        b = jnp.stack([self._dev_img(p1, self.res) for _, p1 in paths])
         # decoder dtype: bf16 measured only ~1.09x on v5e (the decode cost is
         # gather/resize-bound, not conv-bound) while flow drift through the
         # coarse-to-fine feedback loop is non-trivial -> keep f32 unless the
         # user opts in via matcher conf (the DINOv2 encoder stays bf16).
         cdt = str(self.conf.get("decoder_dtype", "float32"))
         warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair(
-            self.params, jnp.asarray(a), jnp.asarray(b), decoder_dtype=cdt,
+            self.params, a, b, decoder_dtype=cdt,
         )
         if self.upsample_preds:
             r = self.upsample_res
-            a_hr = np.stack([resize_image(x[0], (r, r)) for x in ims])
-            b_hr = np.stack([resize_image(x[1], (r, r)) for x in ims])
+            a_hr = jnp.stack([self._dev_img(p0, r) for p0, _ in paths])
+            b_hr = jnp.stack([self._dev_img(p1, r) for _, p1 in paths])
             scale_factor = float(np.sqrt(r * r / (self.res * self.res)))
             warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair_upsample(
-                self.params, jnp.asarray(a_hr), jnp.asarray(b_hr),
+                self.params, a_hr, b_hr,
                 warp_ab, cert_ab, warp_ba, cert_ba,
                 scale_factor=scale_factor, compute_dtype=cdt,
             )

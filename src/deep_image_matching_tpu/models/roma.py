@@ -478,6 +478,10 @@ def match_pair_impl(params, imA, imB, compute_dtype="bfloat16",
     Returns (warpAB, certA, warpBA, certB) at scale-1 resolution with
     normalized coordinates."""
     B = imA.shape[0]
+    if imA.dtype == jnp.uint8:
+        imA = imA.astype(jnp.float32) / 255.0
+    if imB.dtype == jnp.uint8:
+        imB = imB.astype(jnp.float32) / 255.0
     both = jnp.concatenate([imA, imB], axis=0)
     pyr = build_pyramid(params, both, compute_dtype=compute_dtype)
     f_q = pyr
@@ -499,6 +503,10 @@ def match_pair_upsample(
     (scales 8..1), decoding seeded by the coarse-pass warp/certainty.
     imA_hr/imB_hr: (B, H', W', 3) with H', W' multiples of 8."""
     B = imA_hr.shape[0]
+    if imA_hr.dtype == jnp.uint8:
+        imA_hr = imA_hr.astype(jnp.float32) / 255.0
+    if imB_hr.dtype == jnp.uint8:
+        imB_hr = imB_hr.astype(jnp.float32) / 255.0
     both = jnp.concatenate([imA_hr, imB_hr], axis=0)
     pyr = build_pyramid(params, both, use_dino=False)
     f_q = pyr
