@@ -1,0 +1,58 @@
+"""Device-resident feature store and image caches."""
+
+import numpy as np
+import pytest
+
+from deep_image_matching_tpu.io.h5 import save_features
+from deep_image_matching_tpu.matchers.matcher_base import _PaddedFeatureStore
+
+
+@pytest.fixture
+def feature_file(tmp_path):
+    path = tmp_path / "features.h5"
+    rng = np.random.default_rng(0)
+    for i, n in enumerate(["a.jpg", "b.jpg", "c.jpg"]):
+        k = 100 + 30 * i
+        save_features(
+            path, n,
+            keypoints=rng.uniform(0, 640, (k, 2)).astype(np.float32),
+            descriptors=rng.normal(size=(k, 64)).astype(np.float32),
+            scores=rng.random(k).astype(np.float32),
+            image_size=np.array([640, 480], np.int64),
+        )
+    return path
+
+
+def test_gather_device_matches_host_gather(feature_file):
+    store = _PaddedFeatureStore(feature_file, ["a.jpg", "b.jpg", "c.jpg"])
+    idx = [2, 0, 1, 2]
+    host = store.gather(idx)
+    dev = store.gather_device(idx)
+    for k in host:
+        np.testing.assert_array_equal(np.asarray(dev[k]), host[k])
+    # upload happens once: the cached device dict is reused
+    assert store.device() is store.device()
+
+
+def test_loftr_image_cache_eviction(image_dir):
+    from deep_image_matching_tpu import matchers as M
+    from deep_image_matching_tpu.matchers.matcher_base import matcher_loader
+
+    cls = matcher_loader(M, "loftr")
+    m = cls.__new__(cls)  # skip weight loading
+    m.conf = {"image_cache_mb": 1, "max_tile_size": 256}
+    from deep_image_matching_tpu.constants import Quality
+
+    m.quality = Quality.HIGH
+    paths = sorted(image_dir.iterdir())
+    d1 = m._device_image(paths[0])
+    assert d1.dtype == np.uint8 and d1.ndim == 3
+    # same path -> same cached array
+    assert m._device_image(paths[0]) is d1
+    # filling past the 1 MB cap evicts the oldest entry
+    m._device_image(paths[1])
+    m._device_image(paths[2])
+    keys = list(m._img_cache.keys())
+    assert str(paths[0]) not in keys or len(keys) <= 3
+    total = sum(b for _, b in m._img_cache.values())
+    assert total <= 1 << 20 or len(m._img_cache) == 1
