@@ -26,6 +26,24 @@ if _os.environ.get("JAX_PLATFORMS"):
     except Exception:  # pragma: no cover - jax absent or already initialized
         pass
 
+# Persistent XLA compilation cache: extraction/matching programs take
+# O(minutes) to compile cold but are identical across CLI invocations.
+# Opt out with DIM_TPU_NO_COMPILE_CACHE=1 or point elsewhere via
+# JAX_COMPILATION_CACHE_DIR (which jax itself honors).
+if not _os.environ.get("DIM_TPU_NO_COMPILE_CACHE") and not _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR"
+):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/dim_tpu/xla_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover
+        pass
+
 from .config import Config, confs, opt_zoo  # noqa: F401
 from .constants import (  # noqa: F401
     GeometricVerification,
