@@ -111,14 +111,14 @@ class ALIKEDExtractor(ExtractorBase):
             key = (-(-h // pad_to) * pad_to, -(-w // pad_to) * pad_to)
             buckets.setdefault(key, []).append(i)
         results = [None] * len(prepped)
+        batch_dtype = (
+            np.uint8
+            if all(p[0].dtype == np.uint8 for p in prepped)
+            else np.float32
+        )
         for (ph, pw), idxs in buckets.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
-                batch_dtype = (
-                    np.uint8
-                    if all(p[0].dtype == np.uint8 for p in prepped)
-                    else np.float32
-                )
                 batch = np.zeros((len(chunk), ph, pw, 3), batch_dtype)
                 vhw = np.zeros((len(chunk), 2), np.int32)
                 for j, i in enumerate(chunk):

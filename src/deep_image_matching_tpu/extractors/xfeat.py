@@ -94,14 +94,14 @@ class XFeatExtractor(ExtractorBase):
             h, w = arr.shape
             key = (-(-h // 32) * 32, -(-w // 32) * 32)
             buckets.setdefault(key, []).append(i)
+        batch_dtype = (
+            np.uint8
+            if all(p[0].dtype == np.uint8 for p in prepped)
+            else np.float32
+        )
         for (ph, pw), idxs in buckets.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
-                batch_dtype = (
-                    np.uint8
-                    if all(p[0].dtype == np.uint8 for p in prepped)
-                    else np.float32
-                )
                 batch = np.zeros((len(chunk), ph, pw, 1), batch_dtype)
                 vhw = np.zeros((len(chunk), 2), np.int32)
                 for j, i in enumerate(chunk):

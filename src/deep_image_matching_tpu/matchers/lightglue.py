@@ -67,7 +67,8 @@ class LightGlueMatcher(BatchedMatcher):
 
     def _match_pairs(self, feats0: dict, feats1: dict) -> np.ndarray:
         runner = LightGlueRunner(
-            params=self.params, filter_threshold=self.filter_threshold
+            params=self.params, filter_threshold=self.filter_threshold,
+            compute_dtype=self.tpu.get("dtype"),
         )
         f0 = _to_rows(feats0)
         f1 = _to_rows(feats1)

@@ -77,6 +77,11 @@ class LOFTRMatcher(DetectorFreeMatcher):
         # uploads/cache entries are 4x smaller than f32
         img = read_image(path, grayscale=True)
         h, w = img.shape
+        # record the full-resolution shape from this decode so callers
+        # don't re-read the file for two integers
+        if not hasattr(self, "_full_shapes"):
+            self._full_shapes = {}
+        self._full_shapes.setdefault(str(path), (h, w))
         if self.quality is not Quality.HIGH:
             nw, nh = get_size_by_quality(self.quality, (w, h))
             img = resize_image(img, (max(nw, 8), max(nh, 8)))
@@ -123,18 +128,13 @@ class LOFTRMatcher(DetectorFreeMatcher):
 
         from ..models import loftr as loftr_model
 
-        if not hasattr(self, "_full_shapes"):
-            self._full_shapes = {}
         loaded = {}
         for p0, p1 in paths:
             for p in (p0, p1):
                 key = str(p)
                 if key not in loaded:
+                    # _device_image -> _load records the full-res shape
                     loaded[key] = self._device_image(p)
-                    if key not in self._full_shapes:
-                        self._full_shapes[key] = read_image(
-                            p, grayscale=True
-                        ).shape
         fulls = self._full_shapes
         buckets: dict = {}
         for i, (p0, p1) in enumerate(paths):

@@ -228,11 +228,26 @@ class BatchedMatcher(MatcherBase):
             batch1 = store.gather(idx1)
             in0 = mesh.shard_batch(mesh.pad_batch(batch0))
             in1 = mesh.shard_batch(mesh.pad_batch(batch1))
-        elif jax.default_backend() != "cpu":
+        elif jax.default_backend() != "cpu" and not getattr(
+            store, "_device_failed", False
+        ):
             # single accelerator: assemble the batch on device from the
-            # HBM-resident store (features upload once, not once per pair)
-            in0 = store.gather_device(idx0)
-            in1 = store.gather_device(idx1)
+            # HBM-resident store (features upload once, not once per pair).
+            # If the whole-store upload itself doesn't fit HBM, fall back
+            # to per-chunk host gathers permanently — retrying the same
+            # upload per bisected chunk would fail identically and defeat
+            # the OOM bisection recovery.
+            try:
+                in0 = store.gather_device(idx0)
+                in1 = store.gather_device(idx1)
+            except Exception as e:
+                store._device_failed = True
+                logger.warning(
+                    f"Device feature store unavailable ({type(e).__name__}: "
+                    f"{e}); falling back to host-side batch gathers"
+                )
+                in0 = store.gather(idx0)
+                in1 = store.gather(idx1)
         else:
             in0 = store.gather(idx0)
             in1 = store.gather(idx1)

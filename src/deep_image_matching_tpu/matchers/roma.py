@@ -151,13 +151,16 @@ class RomaMatcher(DetectorFreeMatcher):
                 out.extend(self._match_images_batch(paths[s : s + B_cap]))
             return out
 
+        # device-cached uint8 images at the fixed coarse/upsample
+        # resolutions: one upload per (image, res), not one per pair.
+        # _dev_img seeds the full-shape cache from its own decode, so
+        # build the batches first and read sizes afterwards (no extra
+        # full-resolution decode just for the shapes).
+        a = jnp.stack([self._dev_img(p0, self.res) for p0, _ in paths])
+        b = jnp.stack([self._dev_img(p1, self.res) for _, p1 in paths])
         sizes = [
             (self._full_shape(p0), self._full_shape(p1)) for p0, p1 in paths
         ]
-        # device-cached uint8 images at the fixed coarse/upsample
-        # resolutions: one upload per (image, res), not one per pair
-        a = jnp.stack([self._dev_img(p0, self.res) for p0, _ in paths])
-        b = jnp.stack([self._dev_img(p1, self.res) for _, p1 in paths])
         # decoder dtype: bf16 measured only ~1.09x on v5e (the decode cost is
         # gather/resize-bound, not conv-bound) while flow drift through the
         # coarse-to-fine feedback loop is non-trivial -> keep f32 unless the

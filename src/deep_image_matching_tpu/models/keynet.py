@@ -216,20 +216,24 @@ def keynet_multiscale_detect(
     for lvl in range(n_levels):
         s = float(scale_factor) ** lvl
         h, w = max(int(H / s), 16), max(int(W / s), 16)
+        # actual per-axis resize ratios (int truncation and the 16-px floor
+        # make them differ from the nominal s; mapping back with s would
+        # bias coarse-level keypoint coordinates by up to ~s pixels)
+        sy, sx = H / h, W / w
         xi = x if lvl == 0 else jax.image.resize(x, (B, h, w, 1), "bilinear")
         resp = keynet_response(params, xi[..., 0])
         nms = simple_nms(resp, nms_radius)
         ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
-        bh = valid_hw[:, 0, None, None] / s
-        bw = valid_hw[:, 1, None, None] / s
-        bb = max(1, int(border / s))
+        bh = valid_hw[:, 0, None, None] / sy
+        bw = valid_hw[:, 1, None, None] / sx
+        bb = max(1, int(border / max(sy, sx)))
         ok = (ys >= bb) & (ys < bh - bb) & (xs >= bb) & (xs < bw - bb)
         nms = jnp.where(ok, nms, -1.0)
         k_here = min(k_lvl, h * w)
         vals, idx = jax.lax.top_k(nms.reshape(B, h * w), k_here)
-        yy = (idx // w).astype(jnp.float32) * s
-        xx = (idx % w).astype(jnp.float32) * s
+        yy = (idx // w).astype(jnp.float32) * sy
+        xx = (idx % w).astype(jnp.float32) * sx
         pad = k_lvl - k_here
         if pad:
             vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-1.0)

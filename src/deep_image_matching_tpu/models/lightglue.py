@@ -557,6 +557,7 @@ class LightGlueRunner:
         filter_threshold: float = 0.1,
         batch_size: int = 16,
         depth: Optional[int] = None,
+        compute_dtype: Optional[str] = None,
     ):
         self.params = params if params is not None else load_default_params(
             features, n_layers
@@ -564,6 +565,9 @@ class LightGlueRunner:
         self.filter_threshold = filter_threshold
         self.batch_size = batch_size
         self.depth = depth
+        # None = auto (bf16 on accelerators, f32 on CPU); pass the matcher's
+        # configured tpu.dtype to override
+        self.compute_dtype = compute_dtype
 
     def count_matches_pairs(self, feats: list, pairs: list) -> list:
         """Number of raw matches per (i, j) pair — used by the low-res
@@ -637,7 +641,7 @@ class LightGlueRunner:
             take(store["size"], i0), take(store["size"], i1),
             filter_threshold=self.filter_threshold,
             depth=self.depth,
-            compute_dtype=(
+            compute_dtype=self.compute_dtype or (
                 "bfloat16" if jax.default_backend() != "cpu" else "float32"
             ),
             attn_impl=default_attn_impl(),

@@ -280,28 +280,34 @@ class IncrementalMapper:
         opt = self.opt
         # progressive threshold relaxation when no pair qualifies (COLMAP's
         # mapper retries initialization with lowered requirements; small or
-        # low-texture sets legitimately have < 50 correspondences per pair)
+        # low-texture sets legitimately have < 50 correspondences per pair).
+        # The configured thresholds are restored afterwards — relaxation is
+        # local to this search, not a permanent mutation of the options.
+        saved = (opt.init_min_matches, opt.init_min_inliers,
+                 opt.init_min_angle_deg)
         schedule = [
-            (opt.init_min_matches, opt.init_min_inliers, opt.init_min_angle_deg),
-            (max(15, opt.init_min_matches // 2),
-             max(10, opt.init_min_inliers // 2),
-             max(1.0, opt.init_min_angle_deg / 2)),
-            (max(8, opt.init_min_matches // 4),
-             max(6, opt.init_min_inliers // 4),
-             max(0.5, opt.init_min_angle_deg / 4)),
+            saved,
+            (max(15, saved[0] // 2), max(10, saved[1] // 2),
+             max(1.0, saved[2] / 2)),
+            (max(8, saved[0] // 4), max(6, saved[1] // 4),
+             max(0.5, saved[2] / 4)),
         ]
-        for round_i, (mm, mi, ma) in enumerate(schedule):
-            opt.init_min_matches, opt.init_min_inliers = mm, mi
-            opt.init_min_angle_deg = ma
-            if round_i:
-                logger.info(
-                    f"Relaxing initialization thresholds (round {round_i + 1}): "
-                    f"min_matches={mm} min_inliers={mi} min_angle={ma:.2g} deg"
-                )
-            for id0, id1 in ranked[:20]:
-                if self._try_initialize(id0, id1):
-                    return True
-        return False
+        try:
+            for round_i, (mm, mi, ma) in enumerate(schedule):
+                opt.init_min_matches, opt.init_min_inliers = mm, mi
+                opt.init_min_angle_deg = ma
+                if round_i:
+                    logger.info(
+                        f"Relaxing initialization thresholds (round {round_i + 1}): "
+                        f"min_matches={mm} min_inliers={mi} min_angle={ma:.2g} deg"
+                    )
+                for id0, id1 in ranked[:20]:
+                    if self._try_initialize(id0, id1):
+                        return True
+            return False
+        finally:
+            (opt.init_min_matches, opt.init_min_inliers,
+             opt.init_min_angle_deg) = saved
 
     # -- registration -----------------------------------------------------
 

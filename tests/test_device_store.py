@@ -47,12 +47,14 @@ def test_loftr_image_cache_eviction(image_dir):
     paths = sorted(image_dir.iterdir())
     d1 = m._device_image(paths[0])
     assert d1.dtype == np.uint8 and d1.ndim == 3
-    # same path -> same cached array
+    # same path -> same cached array, full shape recorded from that decode
     assert m._device_image(paths[0]) is d1
-    # filling past the 1 MB cap evicts the oldest entry
+    assert str(paths[0]) in m._full_shapes
+    # cap the cache below 2 entries: inserting two more must evict
+    m.conf["image_cache_mb"] = 0  # cap resolves to 0 bytes -> keep newest only
     m._device_image(paths[1])
     m._device_image(paths[2])
     keys = list(m._img_cache.keys())
-    assert str(paths[0]) not in keys or len(keys) <= 3
-    total = sum(b for _, b in m._img_cache.values())
-    assert total <= 1 << 20 or len(m._img_cache) == 1
+    assert str(paths[0]) not in keys, "oldest entry must be evicted"
+    assert keys == [str(paths[2])]
+    assert m._img_cache_bytes == m._img_cache[str(paths[2])][1]
