@@ -91,3 +91,32 @@ def test_config_save_json(project_dir):
     cfg = Config(args=_base_args(project_dir))
     path = cfg.save()
     assert Path(path).exists()
+
+
+def test_all_sample_configs_parse(project_dir):
+    """Every YAML in config/ loads through Config with its pipeline."""
+    from pathlib import Path
+
+    cfg_dir = Path(__file__).resolve().parents[1] / "config"
+    pipeline_for = {
+        "superpoint+lightglue.yaml": "superpoint+lightglue",
+        "aliked+lightglue.yaml": "aliked+lightglue",
+        "aliked.yaml": "aliked+lightglue",
+        "superpoint+superglue.yaml": "superpoint+superglue",
+        "disk+lightglue.yaml": "disk+lightglue",
+        "dedode.yaml": "dedode+kornia_matcher",
+        "dedode+kornia_matcher.yaml": "dedode+kornia_matcher",
+        "keynet.yaml": "keynetaffnethardnet+kornia_matcher",
+        "loftr.yaml": "loftr",
+        "roma.yaml": "roma",
+        "sift.yaml": "sift+kornia_matcher",
+    }
+    for fname, pipe in pipeline_for.items():
+        path = cfg_dir / fname
+        assert path.exists(), fname
+        cfg = Config(args={
+            "dir": str(project_dir), "pipeline": pipe,
+            "config_file": str(path), "skip_reconstruction": True,
+            "force": True,
+        })
+        assert cfg.extractor["name"]
