@@ -185,6 +185,15 @@ def db_from_existing_poses(
         with h5py.File(str(match_path), "r") as fd:
             pairs = [(a, b) for a in fd for b in fd[a]]
     name_to_id = create_db_from_model(model_path, database_path)
+    # matches may cover images the model never registered; only pairs of
+    # registered images can triangulate against the known poses
+    kept = [(a, b) for a, b in pairs if a in name_to_id and b in name_to_id]
+    if len(kept) < len(pairs):
+        logger.warning(
+            f"Skipping {len(pairs) - len(kept)} pairs with images not in "
+            f"the model ({len(kept)} remain)"
+        )
+    pairs = kept
     import_keypoints(database_path, feature_path, name_to_id)
     import_matches(database_path, match_path, name_to_id, pairs)
     import_verified_matches(
