@@ -266,7 +266,9 @@ def _self_block(x, enc, mask, p, num_heads, attn_impl="xla", ffn_impl="xla"):
     cos, sin = enc
     q = _apply_rotary(q, cos, sin)
     k = _apply_rotary(k, cos, sin)
-    ctx = _attention(q, k, v, mask, q_mask=mask, impl=attn_impl)
+    # "bidir" only changes the cross block; self attention stays flash
+    self_impl = "flash" if attn_impl == "bidir" else attn_impl
+    ctx = _attention(q, k, v, mask, q_mask=mask, impl=self_impl)
     msg = _linear(_merge(ctx), p["out"])
     return _ffn(x, msg, p, ffn_impl)
 
@@ -277,7 +279,14 @@ def _cross_block(x0, x1, mask0, mask1, p, num_heads, attn_impl="xla", ffn_impl="
     v0 = _heads(_linear(x0, p["v"]), num_heads)
     v1 = _heads(_linear(x1, p["v"]), num_heads)
     scale = qk0.shape[-1] ** -0.5
-    if attn_impl == "flash":
+    if attn_impl == "bidir":
+        # one Pallas kernel computes each S tile once and feeds both
+        # directions' online softmaxes (ops/pallas_bidir_attention.py):
+        # 3 MXU matmuls per tile pair instead of 4, one launch instead of 2
+        from ..ops.pallas_bidir_attention import bidir_cross_attention
+
+        m0, m1 = bidir_cross_attention(qk0, qk1, v0, v1, mask0, mask1)
+    elif attn_impl == "flash":
         # the fused kernel never materializes the similarity matrix;
         # the shared QK^T is recomputed per direction (FLOPs for HBM)
         m0 = _attention(qk0, qk1, v1, mask1, q_mask=mask0, impl=attn_impl)
@@ -399,7 +408,7 @@ def forward_impl(
     # kernel): 191 ms vs 177 ms per 32-pair batch. Keep separate calls.
     if ffn_impl == "auto":
         # fused Pallas FFN wherever the flash attention kernel is in use
-        ffn_impl = "fused" if attn_impl == "flash" else "xla"
+        ffn_impl = "fused" if attn_impl in ("flash", "bidir") else "xla"
 
     if layout == "stacked":
         # Both images live in one (2B, K, D) tensor for the whole scan:
@@ -426,7 +435,7 @@ def forward_impl(
             qk = _heads(_linear(X, p["qk"]), num_heads)
             v = _heads(_linear(X, p["v"]), num_heads)
             m = _attention(qk, qk[perm], v[perm], PMASK, q_mask=MASK,
-                           impl=attn_impl)
+                           impl="flash" if attn_impl == "bidir" else attn_impl)
             msg = _linear(_merge(m.astype(v.dtype)), p["out"])
             return _ffn(X, msg, p, ffn_impl), None
 
