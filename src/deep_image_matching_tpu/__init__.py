@@ -29,9 +29,14 @@ if _os.environ.get("JAX_PLATFORMS"):
 # Persistent XLA compilation cache: extraction/matching programs take
 # O(minutes) to compile cold but are identical across CLI invocations.
 # Opt out with DIM_TPU_NO_COMPILE_CACHE=1 or point elsewhere via
-# JAX_COMPILATION_CACHE_DIR (which jax itself honors).
-if not _os.environ.get("DIM_TPU_NO_COMPILE_CACHE") and not _os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR"
+# JAX_COMPILATION_CACHE_DIR (which jax itself honors). CPU-forced runs
+# skip the cache: XLA:CPU AOT executables bake in host CPU features, and
+# this VM migrates across heterogeneous hosts (observed feature-mismatch
+# warnings threatening SIGILL), while TPU executables are host-agnostic.
+if (
+    not _os.environ.get("DIM_TPU_NO_COMPILE_CACHE")
+    and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    and "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower()
 ):
     try:
         import jax as _jax
