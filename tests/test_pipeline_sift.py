@@ -128,3 +128,20 @@ def test_orb_pipeline(project_dir):
     assert feature_path.exists()
     names = list_h5_names(feature_path)
     assert len(names) >= 3
+
+
+def test_sift_pipeline_custom_pairs(project_dir, image_dir):
+    """custom_pairs strategy: match exactly the pairs in --pair_file."""
+    names = sorted(p.name for p in image_dir.iterdir())
+    pair_file = project_dir / "my_pairs.txt"
+    pair_file.write_text(f"{names[0]} {names[1]}\n")
+    cfg, feature_path, match_path = _run(
+        project_dir, strategy="custom_pairs", pair_file=str(pair_file)
+    )
+    written = (cfg.output_dir / "pairs.txt").read_text().split()
+    assert written == [names[0], names[1]]
+    import h5py
+
+    with h5py.File(match_path, "r") as f:
+        pairs = [(a, b) for a in f for b in f[a]]
+    assert pairs == [(names[0], names[1])] or pairs == []
