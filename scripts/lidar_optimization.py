@@ -61,11 +61,13 @@ def main():
         cloud = _read_ascii_ply(args.point_cloud)
     cameras, images, points3D = read_model(args.model_dir)
     tree = cKDTree(cloud)
+    pids = list(points3D.keys())
+    xyz = np.stack([points3D[p].xyz for p in pids])
+    d, j = tree.query(xyz, workers=-1)
     moved = 0
-    for pid, pt in points3D.items():
-        d, j = tree.query(pt.xyz)
-        if d <= args.max_dist:
-            points3D[pid] = pt._replace(xyz=cloud[j])
+    for pid, di, ji in zip(pids, d, j):
+        if di <= args.max_dist:
+            points3D[pid] = points3D[pid]._replace(xyz=cloud[ji])
             moved += 1
     args.out_dir.mkdir(parents=True, exist_ok=True)
     write_model(cameras, images, points3D, str(args.out_dir), ext=".txt")

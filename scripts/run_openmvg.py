@@ -20,7 +20,7 @@ def main():
     ap.add_argument("openmvg_dir", type=Path,
                     help="directory containing sfm_data.json + matches")
     ap.add_argument("--conf", type=Path, default=None,
-                    help="openmvg yaml (see config/openmvg_linux.yaml)")
+                    help="openmvg yaml with general.path_to_binaries (see config/openmvg_linux.yaml), a binaries dir, or the executable")
     args = ap.parse_args()
 
     from deep_image_matching_tpu.openmvg import openmvg_reconstruction

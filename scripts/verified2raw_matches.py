@@ -44,9 +44,13 @@ def main():
         "SELECT image_id, name, camera_id FROM images"
     ):
         dst.add_image(name, cam_id, image_id=image_id)
-    for image_id, data in src.execute("SELECT image_id, data FROM keypoints"):
-        if data is not None:
-            dst.add_keypoints(image_id, blob_to_array(data, np.float32, (-1, 2)))
+    for image_id, rows, cols, data in src.execute(
+        "SELECT image_id, rows, cols, data FROM keypoints"
+    ):
+        if data is not None and rows:
+            # COLMAP stores N x {2,4,6} float32; keep only x, y
+            kpts = blob_to_array(data, np.float32, (rows, cols))[:, :2]
+            dst.add_keypoints(image_id, kpts)
     n = 0
     for pair_id, rows, cols, data in src.execute(
         "SELECT pair_id, rows, cols, data FROM two_view_geometries"

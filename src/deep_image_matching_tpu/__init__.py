@@ -33,10 +33,23 @@ if _os.environ.get("JAX_PLATFORMS"):
 # skip the cache: XLA:CPU AOT executables bake in host CPU features, and
 # this VM migrates across heterogeneous hosts (observed feature-mismatch
 # warnings threatening SIGILL), while TPU executables are host-agnostic.
+def _accelerator_plugin_available() -> bool:
+    """True when a PJRT accelerator plugin is installed (without
+    initializing any backend). CPU-only installs must not cache: XLA:CPU
+    executables bake in host features and break across VM migrations."""
+    try:
+        from importlib.metadata import entry_points
+
+        return bool(list(entry_points(group="jax_plugins")))
+    except Exception:  # pragma: no cover
+        return False
+
+
 if (
     not _os.environ.get("DIM_TPU_NO_COMPILE_CACHE")
     and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    and "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower()
+    and "cpu" != _os.environ.get("JAX_PLATFORMS", "").lower()
+    and _accelerator_plugin_available()
 ):
     try:
         import jax as _jax

@@ -411,6 +411,13 @@ def forward_impl(
         ffn_impl = "fused" if attn_impl in ("flash", "bidir") else "xla"
 
     if layout == "stacked":
+        if attn_impl == "bidir":
+            import logging
+
+            logging.getLogger("dim_tpu").warning(
+                "attn_impl='bidir' is not implemented for layout='stacked'; "
+                "cross attention falls back to two flash calls"
+            )
         # Both images live in one (2B, K, D) tensor for the whole scan:
         # self-attention runs once at batch 2B; cross-attention takes the
         # partner's keys/values by rolling the batch halves. One attention

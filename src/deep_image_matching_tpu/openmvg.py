@@ -17,15 +17,27 @@ logger = logging.getLogger("dim_tpu")
 
 
 def find_openmvg_bin(openmvg_conf: Optional[str] = None) -> Optional[Path]:
-    """Locate the openMVG_main_SfM executable (PATH or user-given dir)."""
+    """Locate the openMVG_main_SfM executable.
+
+    ``openmvg_conf`` may be (reference ``--openmvg config.yaml`` surface):
+    a YAML file with ``general: path_to_binaries`` (null = use PATH), a
+    directory containing the binaries, or the executable itself.
+    """
     if openmvg_conf:
         cand = Path(openmvg_conf)
-        if cand.is_file():
-            return cand
-        if cand.is_dir():
-            exe = cand / "openMVG_main_SfM"
-            if exe.exists():
-                return exe
+        if cand.is_file() and cand.suffix.lower() in (".yaml", ".yml"):
+            import yaml
+
+            conf = yaml.safe_load(cand.read_text()) or {}
+            bin_dir = (conf.get("general") or {}).get("path_to_binaries")
+            cand = Path(bin_dir) if bin_dir else None
+        if cand is not None:
+            if cand.is_dir():
+                exe = cand / "openMVG_main_SfM"
+                if exe.exists():
+                    return exe
+            elif cand.is_file():
+                return cand
     found = shutil.which("openMVG_main_SfM")
     return Path(found) if found else None
 

@@ -142,6 +142,11 @@ def test_sift_pipeline_custom_pairs(project_dir, image_dir):
     assert written == [names[0], names[1]]
     import h5py
 
+    # the raw matches must cover exactly the requested pair (GV may gate
+    # the verified file, but the pair list itself must be respected)
+    with h5py.File(cfg.output_dir / "raw_matches.h5", "r") as f:
+        raw_pairs = [(a, b) for a in f for b in f[a]]
+    assert raw_pairs == [(names[0], names[1])]
     with h5py.File(match_path, "r") as f:
-        pairs = [(a, b) for a in f for b in f[a]]
-    assert pairs == [(names[0], names[1])] or pairs == []
+        verified = [(a, b) for a in f for b in f[a]]
+    assert set(verified) <= {(names[0], names[1])}
