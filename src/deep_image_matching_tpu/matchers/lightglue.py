@@ -60,6 +60,7 @@ class LightGlueMatcher(BatchedMatcher):
             assignment_impl=self.tpu.get(
                 "assignment_impl", default_assignment_impl()
             ),
+            ffn_impl=self.tpu.get("ffn_impl", "auto"),
         )
         matches0 = np.asarray(out["matches0"])
         valid = np.asarray(out["valid0"])
