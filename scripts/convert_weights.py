@@ -31,6 +31,10 @@ CONVERTERS = {
     "vgg16_netvlad.pth": ("deep_image_matching_tpu.models.retrieval", "openibl_params_from_torch"),
     "Resnet101-AP-GeM-LM18.pt": ("deep_image_matching_tpu.models.retrieval", "resnet_gem_params_from_torch"),
     "se2loftr_8rot_exported.pth": ("deep_image_matching_tpu.models.se2loftr", "params_from_exported_torch"),
+    "hardnet.pth": ("deep_image_matching_tpu.models.hardnet", "hardnet_params_from_torch"),
+    "keynet.pth": ("deep_image_matching_tpu.models.keynet", "keynet_params_from_torch"),
+    "affnet.pth": ("deep_image_matching_tpu.models.affnet", "affnet_params_from_torch"),
+    "orinet.pth": ("deep_image_matching_tpu.models.affnet", "orinet_params_from_torch"),
 }
 
 # SE2-LoFTR note: the published 8rot.ckpt stores e2cnn *basis* parameters.

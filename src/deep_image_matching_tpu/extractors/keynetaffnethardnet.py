@@ -1,12 +1,13 @@
 """KeyNet+AffNet+HardNet extractor wrapper.
 
 Parity: reference ``extractors/keynetaffnethardnet.py:9-58`` (kornia
-``KF.KeyNetAffNetHardNet``; n_features, upright). Detection here is the
-weight-free scale-space determinant-of-Hessian stage of the KeyNet response
-(KeyNet's learned filter bank needs kornia weights that are unavailable
-offline); orientation via gradient moments (OriNet's role); descriptors are
-the exact HardNet CNN with a converter for standard HardNet checkpoints
-(``models/hardnet.py``).
+``KF.KeyNetAffNetHardNet``; n_features, upright). Every learned stage is
+implemented with a checkpoint converter: KeyNet's learned response
+(``models/keynet.py``), AffNetFast affine shape + OriNetFast orientation
+(``models/affnet.py``), and the exact HardNet descriptor CNN
+(``models/hardnet.py``). When a stage's weights are absent the weight-free
+fallbacks apply (determinant-of-Hessian detection, identity shape,
+gradient-moment orientation).
 """
 
 from __future__ import annotations
@@ -49,6 +50,52 @@ def _load():
 
 
 _KEYNET_PARAMS = "unset"
+_AFFNET_PARAMS = "unset"
+_ORINET_PARAMS = "unset"
+
+
+def _load_affnet_orinet():
+    """Learned AffNetFast / OriNetFast weights, or (None, None) to fall back
+    to identity shape + gradient-moment orientation."""
+    global _AFFNET_PARAMS, _ORINET_PARAMS
+    if _AFFNET_PARAMS != "unset":
+        return _AFFNET_PARAMS, _ORINET_PARAMS
+    from ..models import affnet as an
+
+    found = {"affnet": None, "orinet": None}
+    convert = {
+        "affnet": an.affnet_params_from_torch,
+        "orinet": an.orinet_params_from_torch,
+    }
+    names = {
+        "affnet": ("affnet.pth", "AffNet.pth"),
+        "orinet": ("orinet.pth", "OriNet.pth"),
+    }
+    wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
+    for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
+        for net in ("affnet", "orinet"):
+            if found[net] is not None:
+                continue
+            for name in names[net]:
+                cand = base / name
+                if not cand.exists():
+                    continue
+                import torch
+
+                ckpt = torch.load(str(cand), map_location="cpu")
+                sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+                try:
+                    found[net] = convert[net](sd)
+                    logger.info(f"Loaded {net} weights from {cand}")
+                    break
+                except KeyError as e:
+                    logger.warning(f"{net} checkpoint {cand} not convertible: {e}")
+    if found["affnet"] is None:
+        logger.info("No AffNet weights; using identity affine shape.")
+    if found["orinet"] is None:
+        logger.info("No OriNet weights; using gradient-moment orientation.")
+    _AFFNET_PARAMS, _ORINET_PARAMS = found["affnet"], found["orinet"]
+    return _AFFNET_PARAMS, _ORINET_PARAMS
 
 
 def _load_keynet():
@@ -102,6 +149,7 @@ class KeyNetAffNetHardNetExtractor(ExtractorBase):
         if requested == "keynet" and self.keynet_params is None:
             logger.warning("detector=keynet requested but no weights; using doh")
         self.detector = "keynet" if self.keynet_params is not None else "doh"
+        self.affnet_params, self.orinet_params = _load_affnet_orinet()
 
     def _extract(self, image: np.ndarray) -> FeaturesDict:
         import jax.numpy as jnp
@@ -115,6 +163,8 @@ class KeyNetAffNetHardNetExtractor(ExtractorBase):
             jnp.asarray([[h, w]], np.int32),
             max_keypoints=cap, upright=self.upright,
             detector=self.detector, keynet_params=self.keynet_params,
+            affnet_params=self.affnet_params,
+            orinet_params=self.orinet_params,
         )
         out = {k: np.asarray(v) for k, v in out.items()}
         m = out["mask"][0]

@@ -196,24 +196,36 @@ def dominant_orientation(
 def extract_oriented_patches(
     images: jnp.ndarray, kpts: jnp.ndarray, sigmas: jnp.ndarray,
     angles: jnp.ndarray, patch_size: int = 32, scale_mult: float = 6.0,
+    shapes: jnp.ndarray | None = None,
 ):
-    """(B, K, 32, 32) patches sampled on a rotated, sigma-scaled grid."""
+    """(B, K, 32, 32) patches sampled on a rotated, sigma-scaled grid.
+
+    ``shapes`` (B, K, 2, 2), when given, is a per-keypoint affine shape
+    matrix (AffNet's det-1 upright ellipse) composed with the rotation:
+    grid point g maps to ``kpt + span * (shape @ R) g``."""
     ps = patch_size
     lin = jnp.linspace(-0.5, 0.5, ps)
     gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
     grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (ps*ps, 2)
 
-    def per_image(img, k, s, a):
+    def per_image(img, k, s, a, shp):
         cos, sin = jnp.cos(a), jnp.sin(a)
         R = jnp.stack(
             [jnp.stack([cos, -sin], -1), jnp.stack([sin, cos], -1)], -2
         )  # (K, 2, 2)
+        if shp is not None:
+            # grid-row convention: offset = g^T (R^T shp^T) = ((shp @ R) g)^T
+            R = jnp.einsum("kcd,kde->kce", R, jnp.swapaxes(shp, -1, -2))
         span = (scale_mult * s)[:, None, None]
         pos = k[:, None, :] + jnp.einsum("pc,kcd->kpd", grid, R) * span
         vals = bilinear_sample_zeropad(img[..., None], pos)[..., 0]
         return vals.reshape(-1, ps, ps)
 
-    return jax.vmap(per_image)(images, kpts, sigmas, angles)
+    if shapes is None:
+        return jax.vmap(lambda i, k, s, a: per_image(i, k, s, a, None))(
+            images, kpts, sigmas, angles
+        )
+    return jax.vmap(per_image)(images, kpts, sigmas, angles, shapes)
 
 
 @functools.partial(
@@ -227,7 +239,16 @@ def keynet_hardnet_extract(
     upright: bool = False,
     detector: str = "doh",
     keynet_params: Params | None = None,
+    affnet_params: Params | None = None,
+    orinet_params: Params | None = None,
 ) -> Dict[str, jnp.ndarray]:
+    """Full local-feature program: detect -> (AffNet shape) -> (OriNet /
+    gradient-moment orientation) -> steered patch sampling -> HardNet.
+
+    With ``affnet_params`` / ``orinet_params`` the learned AffNetFast /
+    OriNetFast stages run (kornia ``KeyNetAffNetHardNet`` parity, reference
+    ``extractors/keynetaffnethardnet.py:9-58``); without them the weight-free
+    fallbacks (identity shape, gradient-moment orientation) apply."""
     if detector == "keynet":
         from .keynet import keynet_multiscale_detect
 
@@ -238,11 +259,29 @@ def keynet_hardnet_extract(
         kpts, scores, sigmas, valid = multiscale_detect(
             images, valid_hw, max_keypoints
         )
+
+    shapes = None
+    if affnet_params is not None:
+        from .affnet import affnet_shapes
+
+        zero = jnp.zeros(kpts.shape[:2], jnp.float32)
+        probe = extract_oriented_patches(images, kpts, sigmas, zero)
+        shapes = jax.vmap(lambda p: affnet_shapes(affnet_params, p))(probe)
+
     if upright:
         angles = jnp.zeros(kpts.shape[:2], jnp.float32)
+    elif orinet_params is not None:
+        from .affnet import orinet_angles
+
+        zero = jnp.zeros(kpts.shape[:2], jnp.float32)
+        # orientation is estimated on shape-normalized patches
+        ori_patches = extract_oriented_patches(
+            images, kpts, sigmas, zero, shapes=shapes
+        )
+        angles = jax.vmap(lambda p: orinet_angles(orinet_params, p))(ori_patches)
     else:
         angles = dominant_orientation(images, kpts, sigmas)
-    patches = extract_oriented_patches(images, kpts, sigmas, angles)
+    patches = extract_oriented_patches(images, kpts, sigmas, angles, shapes=shapes)
     B, K = patches.shape[:2]
     descs = jax.vmap(lambda p: hardnet_describe(params, p))(patches)
     descs = descs * valid[..., None]
