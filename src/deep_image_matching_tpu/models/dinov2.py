@@ -132,12 +132,29 @@ def _interp_pos_embed(pos_embed: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
     return cls_pe, patch_pe.reshape(1, hp * wp, -1)
 
 
+def default_attn_impl() -> str:
+    """'flash' (Pallas fused attention) on TPU, dense 'xla' elsewhere."""
+    try:
+        return "flash" if jax.default_backend() not in ("cpu",) else "xla"
+    except Exception:
+        return "xla"
+
+
 def forward_features(
     params: Params, images: jnp.ndarray, num_heads: int = 16,
-    compute_dtype: str = "bfloat16",
+    compute_dtype: str = "bfloat16", attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """images (B, H, W, 3), ImageNet-normalized, H/W multiples of the patch
-    size -> normalized patch tokens (B, H/p*W/p, dim)."""
+    size -> normalized patch tokens (B, H/p*W/p, dim).
+
+    ``attn_impl='flash'`` routes every block through the Pallas fused
+    attention kernel (``ops/attention.py``): at RoMa's coarse resolution
+    (1601 tokens, ViT-L) the dense path writes a 164 MB f32 score tensor
+    per block to HBM — ~16 GB of traffic over 24 blocks per image — which
+    the streaming kernel eliminates. Tokens are padded to a multiple of 128
+    once for the whole stack and masked via segment ids."""
+    if attn_impl == "auto":
+        attn_impl = default_attn_impl()
     cdt = jnp.dtype(compute_dtype)
     p = params["patch_embed"]["w"].shape[0]
     B, H, W, _ = images.shape
@@ -152,6 +169,14 @@ def forward_features(
     x = x + patch_pe.astype(cdt)
     x = jnp.concatenate([jnp.tile(cls_tok, (B, 1, 1)), x], axis=1)
 
+    S = x.shape[1]
+    mask = None
+    if attn_impl == "flash" and S % 128 != 0:
+        S_pad = ((S + 127) // 128) * 128
+        x = jnp.pad(x, ((0, 0), (0, S_pad - S), (0, 0)))
+        mask = jnp.arange(S_pad)[None, :] < S  # (1, S_pad)
+        mask = jnp.broadcast_to(mask, (B, S_pad))
+
     D = x.shape[-1]
     hd = D // num_heads
     for blk in params["blocks"]:
@@ -163,13 +188,20 @@ def forward_features(
         q = qkv[:, :, 0].transpose(0, 2, 1, 3)
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
         v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-        sim = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) / np.sqrt(hd)
-        attn = jax.nn.softmax(sim, axis=-1).astype(cdt)
-        out = jnp.einsum(
-            "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32
-        ).astype(cdt)
+        if attn_impl == "flash":
+            from ..ops.attention import fused_attention
+
+            out = fused_attention(
+                q, k, v, mask, mask, 1.0 / np.sqrt(hd), impl="flash"
+            ).astype(cdt)
+        else:
+            sim = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+            ) / np.sqrt(hd)
+            attn = jax.nn.softmax(sim, axis=-1).astype(cdt)
+            out = jnp.einsum(
+                "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32
+            ).astype(cdt)
         out = out.transpose(0, 2, 1, 3).reshape(B, -1, D)
         x = x + _lin(out, bp["proj"]) * bp["ls1"]
         h = _ln(x, bp["ln2"])
@@ -178,4 +210,4 @@ def forward_features(
         x = x + _lin(h, bp["fc2"]) * bp["ls2"]
 
     x = _ln(x, params["norm"])
-    return x[:, 1:].astype(jnp.float32)  # patch tokens only
+    return x[:, 1 : S].astype(jnp.float32)  # patch tokens only, padding off

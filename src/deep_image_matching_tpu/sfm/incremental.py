@@ -128,42 +128,48 @@ def build_tracks(data: SfMData, min_track_len: int = 2) -> List[dict]:
     for img_id, kps in data.keypoints.items():
         offsets[img_id] = total
         total += len(kps)
-    parent = np.arange(total, dtype=np.int64)
 
-    def find(a):
-        root = a
-        while parent[root] != root:
-            root = parent[root]
-        while parent[a] != root:
-            parent[a], a = root, parent[a]
-        return root
+    edge_chunks = [
+        np.asarray(m, np.int64) + np.array([offsets[id0], offsets[id1]])
+        for (id0, id1), m in data.pair_matches.items()
+        if len(m)
+    ]
+    if not edge_chunks:
+        return []
+    edges = np.concatenate(edge_chunks, axis=0)
 
-    for (id0, id1), m in data.pair_matches.items():
-        o0, o1 = offsets[id0], offsets[id1]
-        for i0, i1 in m:
-            ra, rb = find(o0 + i0), find(o1 + i1)
-            if ra != rb:
-                parent[rb] = ra
-    roots: Dict[int, dict] = {}
-    bad = set()
-    rev = {}
+    # C++ union-find (native/unionfind.cpp, scipy fallback) + vectorized
+    # grouping — the per-match Python loop dominated mapper startup on
+    # large projects
+    from ..native import connected_components
+
+    labels = connected_components(total, edges)
+    node_img = np.empty(total, np.int64)
+    node_kpt = np.empty(total, np.int64)
     for img_id, off in offsets.items():
-        for k in range(len(data.keypoints[img_id])):
-            rev[off + k] = (img_id, k)
-    for node in range(total):
-        r = find(node)
-        img_id, k = rev[node]
-        tr = roots.setdefault(r, {})
-        if img_id in tr and tr[img_id] != k:
-            bad.add(r)
-        tr[img_id] = k
+        n = len(data.keypoints[img_id])
+        node_img[off : off + n] = img_id
+        node_kpt[off : off + n] = np.arange(n)
+
+    order = np.lexsort((node_img, labels))
+    sl, si, sk = labels[order], node_img[order], node_kpt[order]
+    is_start = np.r_[True, sl[1:] != sl[:-1]]
+    starts = np.flatnonzero(is_start)
+    sizes = np.diff(np.r_[starts, len(sl)])
+    grp_of_pos = np.cumsum(is_start) - 1
+    # a component is ambiguous if one image contributes two keypoints
+    dup = (sl[1:] == sl[:-1]) & (si[1:] == si[:-1])
+    bad = np.zeros(len(starts), bool)
+    np.logical_or.at(bad, grp_of_pos[1:][dup], True)
+    keep = np.flatnonzero((sizes >= min_track_len) & ~bad)
+
     tracks = [
-        tr for r, tr in roots.items()
-        if r not in bad and len(tr) >= min_track_len
+        dict(zip(si[s : s + n].tolist(), sk[s : s + n].tolist()))
+        for s, n in zip(starts[keep], sizes[keep])
     ]
     logger.info(
         f"Built {len(tracks)} tracks from {len(data.pair_matches)} verified "
-        f"pairs ({len(bad)} ambiguous components dropped)"
+        f"pairs ({int(bad.sum())} ambiguous components dropped)"
     )
     return tracks
 

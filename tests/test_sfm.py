@@ -305,3 +305,55 @@ def test_native_triangulate_points_from_poses(tmp_path):
         errs.append(d)
     assert np.median(errs) < 0.05
     assert (out_dir / "points3D.txt").exists()
+
+
+def test_build_tracks_matches_bruteforce_reference():
+    """Vectorized native-union-find track builder == a brute-force
+    transitive-closure implementation, including ambiguity dropping."""
+    from deep_image_matching_tpu.sfm.incremental import SfMData, build_tracks
+
+    rng = np.random.default_rng(7)
+    n_imgs, n_kpts = 6, 40
+    keypoints = {
+        i: rng.random((n_kpts, 2)) * 100 for i in range(1, n_imgs + 1)
+    }
+    pair_matches = {}
+    for a in range(1, n_imgs + 1):
+        for b in range(a + 1, n_imgs + 1):
+            m = rng.integers(0, n_kpts, (rng.integers(5, 25), 2))
+            pair_matches[(a, b)] = np.unique(m, axis=0)
+    data = SfMData(
+        image_names={i: f"im{i}" for i in keypoints},
+        image_cam={i: 1 for i in keypoints},
+        keypoints=keypoints,
+        cameras={1: {}},
+        pair_matches=pair_matches,
+    )
+
+    # brute-force reference: python union-find with the same semantics
+    offsets = {i: (i - 1) * n_kpts for i in keypoints}
+    parent = list(range(n_imgs * n_kpts))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (a, b), m in pair_matches.items():
+        for i0, i1 in m:
+            ra, rb = find(offsets[a] + i0), find(offsets[b] + i1)
+            if ra != rb:
+                parent[rb] = ra
+    comps = {}
+    for img in keypoints:
+        for k in range(n_kpts):
+            comps.setdefault(find(offsets[img] + k), []).append((img, k))
+    expected = set()
+    for nodes in comps.values():
+        imgs = [i for i, _ in nodes]
+        if len(nodes) >= 2 and len(set(imgs)) == len(imgs):
+            expected.add(frozenset(nodes))
+
+    got = {frozenset(tr.items()) for tr in build_tracks(data)}
+    assert got == expected
