@@ -60,7 +60,9 @@ def params_from_torch(state_dict, cfg=VIT_L) -> Params:
         },
         "cls_token": jnp.asarray(sd["cls_token"], jnp.float32),
         "pos_embed": jnp.asarray(sd["pos_embed"], jnp.float32),
-        "blocks": blocks,
+        # stacked for the forward scan — stacking per call would concat
+        # ~1.2 GB of ViT-L weights in HBM on every forward
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
         "norm": ln("norm"),
     }
 
@@ -100,7 +102,7 @@ def init_params(key, cfg=VIT_L, depth: int = 2) -> Params:
         },
         "cls_token": jnp.zeros((1, 1, d), jnp.float32),
         "pos_embed": jnp.asarray(rng.normal(0, 0.02, (1, n_pos, d)), jnp.float32),
-        "blocks": blocks,
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
         "norm": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
     }
 
@@ -219,8 +221,11 @@ def forward_features(
         return x + _lin(h, bp["fc2"]) * bp["ls2"]
 
     # one compiled block body via scan (24 unrolled ViT-L blocks take
-    # minutes to compile); identical leaf shapes across blocks by design
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["blocks"])
+    # minutes to compile); params store the blocks pre-stacked — legacy
+    # list-form params are stacked here as a fallback
+    stacked = params["blocks"]
+    if isinstance(stacked, (list, tuple)):
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *stacked)
     x = jax.lax.scan(lambda c, bp: (block(c, bp), None), x, stacked)[0]
 
     x = _ln(x, params["norm"])
