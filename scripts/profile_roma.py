@@ -1,0 +1,122 @@
+"""Stage-level RoMa profile on the live device (RTT-compensated).
+
+Breaks the dense-match pair time into: DINOv2 ViT pyramid, VGG pyramid
+(coarse + upsample res), GP+embedding decoder at 1/16, and each
+ConvRefiner scale — so optimization effort goes where the milliseconds
+are. Methodology per bench.py: dispatch R calls back-to-back, fetch a
+4-byte reduction, subtract tunnel RTT.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parents[1] / "src"
+if _SRC.is_dir() and str(_SRC) not in sys.path:
+    sys.path.insert(0, str(_SRC))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deep_image_matching_tpu.models import roma
+    from deep_image_matching_tpu.models import dinov2
+    from deep_image_matching_tpu.models.vgg_refiner import vgg19_features
+
+    print("device:", jax.devices()[0], file=sys.stderr)
+    params = roma.init_params(jax.random.PRNGKey(0), dinov2_depth=24)
+
+    B = 1
+    HC = WC = 560
+    HU = WU = 864
+
+    key = jax.random.PRNGKey(1)
+    imgc = jax.random.uniform(key, (2 * B, HC, WC, 3), jnp.float32)
+    imgu = jax.random.uniform(key, (2 * B, HU, WU, 3), jnp.float32)
+
+    # rtt probe
+    z = jnp.zeros(())
+    for _ in range(3):
+        float(z + 1)
+    t0 = time.time()
+    for _ in range(5):
+        float(z + 1)
+    rtt = (time.time() - t0) / 5
+    print(f"rtt {rtt*1e3:.1f} ms", file=sys.stderr)
+
+    def timeit(fn, fetch, reps=8, rounds=3):
+        out = fn()
+        fetch(out)  # compile + settle
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn()
+            fetch(out)
+            best = min(best, (time.time() - t0 - rtt) / reps)
+        return best * 1e3  # ms
+
+    # --- stages ---
+    vit = jax.jit(lambda x: dinov2.forward_features(params["dinov2"], x))
+    t = timeit(lambda: vit(imgc), lambda o: float(jnp.sum(o[..., 0])))
+    print(f"dinov2 vit24 @560 (2 imgs):      {t:8.1f} ms")
+
+    vggc = jax.jit(lambda x: vgg19_features(params["vgg"], x))
+    t = timeit(lambda: vggc(imgc), lambda o: float(jnp.sum(o[0][..., 0])))
+    print(f"vgg19 pyramid @560 (2 imgs):     {t:8.1f} ms")
+
+    t = timeit(lambda: vggc(imgu), lambda o: float(jnp.sum(o[0][..., 0])))
+    print(f"vgg19 pyramid @864 (2 imgs):     {t:8.1f} ms")
+
+    # pyramids for decode stages
+    pyr = jax.jit(
+        lambda x: roma.build_pyramid(params, x, compute_dtype="bfloat16")
+    )(imgc)
+    f_q = pyr
+    f_s = {s: jnp.concatenate([v[B:], v[:B]], axis=0) for s, v in pyr.items()}
+
+    def dec(scales, flow=None, cert=None):
+        def f():
+            return roma.decode(
+                params, f_q, f_s, scales=scales, flow=flow, certainty=cert
+            )
+        return jax.jit(f)
+
+    # full coarse decode
+    t_full = timeit(dec(roma.SCALES), lambda o: float(jnp.sum(o[0][..., 0])))
+    print(f"decode 16->1 @560 (2 dirs):      {t_full:8.1f} ms")
+
+    # cumulative prefixes isolate each scale's marginal cost
+    prev = 0.0
+    for i in range(1, len(roma.SCALES) + 1):
+        scales = roma.SCALES[:i]
+        t = timeit(dec(scales), lambda o: float(jnp.sum(o[0][..., 0])))
+        print(
+            f"  scale {scales[-1]:>2} marginal:          "
+            f"{t - prev:8.1f} ms   (prefix {t:7.1f})"
+        )
+        prev = t
+
+    # upsample pass
+    pyru = jax.jit(lambda x: roma.build_pyramid(params, x, use_dino=False))(imgu)
+    fu_q = pyru
+    fu_s = {s: jnp.concatenate([v[B:], v[:B]], axis=0) for s, v in pyru.items()}
+    h1, w1 = fu_q["1"].shape[1:3]
+    flow0 = jnp.zeros((2 * B, HC // 1, WC // 1, 2), jnp.float32)[:, :128, :128]
+    cert0 = jnp.zeros((2 * B, 128, 128, 1), jnp.float32)
+
+    def up():
+        return roma.decode(
+            params, fu_q, fu_s, scales=["8", "4", "2", "1"],
+            flow=flow0, certainty=cert0, scale_factor=WU / WC,
+        )
+
+    t = timeit(jax.jit(up), lambda o: float(jnp.sum(o[0][..., 0])))
+    print(f"decode 8->1 @864 (2 dirs):       {t:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
