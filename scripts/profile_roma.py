@@ -60,40 +60,56 @@ def main():
         return best * 1e3  # ms
 
     # --- stages ---
-    vit = jax.jit(lambda x: dinov2.forward_features(params["dinov2"], x))
-    t = timeit(lambda: vit(imgc), lambda o: float(jnp.sum(o[..., 0])))
-    print(f"dinov2 vit24 @560 (2 imgs):      {t:8.1f} ms")
+    # Params and pyramids are always jit ARGUMENTS, never closure captures:
+    # closure-captured arrays are embedded in the serialized HLO shipped to
+    # the axon remote-compile service (~GB of ViT weights -> 30 min upload).
+    only = sys.argv[1] if len(sys.argv) > 1 else None
 
-    vggc = jax.jit(lambda x: vgg19_features(params["vgg"], x))
-    t = timeit(lambda: vggc(imgc), lambda o: float(jnp.sum(o[0][..., 0])))
+    if only in (None, "vit"):
+        vit = jax.jit(lambda p, x: dinov2.forward_features(p, x))
+        t = timeit(lambda: vit(params["dinov2"], imgc),
+                   lambda o: float(jnp.sum(o[..., 0])))
+        print(f"dinov2 vit24 @560 (2 imgs):      {t:8.1f} ms")
+        if only == "vit":
+            return
+
+    vggc = jax.jit(lambda p, x: vgg19_features(p, x))
+    t = timeit(lambda: vggc(params["vgg"], imgc),
+               lambda o: float(jnp.sum(o[0][..., 0])))
     print(f"vgg19 pyramid @560 (2 imgs):     {t:8.1f} ms")
 
-    t = timeit(lambda: vggc(imgu), lambda o: float(jnp.sum(o[0][..., 0])))
+    t = timeit(lambda: vggc(params["vgg"], imgu),
+               lambda o: float(jnp.sum(o[0][..., 0])))
     print(f"vgg19 pyramid @864 (2 imgs):     {t:8.1f} ms")
+    if only == "vgg":
+        return
 
     # pyramids for decode stages
     pyr = jax.jit(
-        lambda x: roma.build_pyramid(params, x, compute_dtype="bfloat16")
-    )(imgc)
+        lambda p, x: roma.build_pyramid(p, x, compute_dtype="bfloat16")
+    )(params, imgc)
     f_q = pyr
     f_s = {s: jnp.concatenate([v[B:], v[:B]], axis=0) for s, v in pyr.items()}
 
-    def dec(scales, flow=None, cert=None):
-        def f():
-            return roma.decode(
-                params, f_q, f_s, scales=scales, flow=flow, certainty=cert
-            )
-        return jax.jit(f)
+    def dec(scales):
+        # one jit object per scale-prefix, reused across timing reps
+        return jax.jit(
+            lambda p, q, s: roma.decode(p, q, s, scales=tuple(scales))
+        )
 
     # full coarse decode
-    t_full = timeit(dec(roma.SCALES), lambda o: float(jnp.sum(o[0][..., 0])))
+    f_full = dec(roma.SCALES)
+    t_full = timeit(lambda: f_full(params, f_q, f_s),
+                    lambda o: float(jnp.sum(o[0][..., 0])))
     print(f"decode 16->1 @560 (2 dirs):      {t_full:8.1f} ms")
 
     # cumulative prefixes isolate each scale's marginal cost
     prev = 0.0
     for i in range(1, len(roma.SCALES) + 1):
         scales = roma.SCALES[:i]
-        t = timeit(dec(scales), lambda o: float(jnp.sum(o[0][..., 0])))
+        f_pre = dec(scales)
+        t = timeit(lambda: f_pre(params, f_q, f_s),
+                   lambda o: float(jnp.sum(o[0][..., 0])))
         print(
             f"  scale {scales[-1]:>2} marginal:          "
             f"{t - prev:8.1f} ms   (prefix {t:7.1f})"
@@ -101,20 +117,22 @@ def main():
         prev = t
 
     # upsample pass
-    pyru = jax.jit(lambda x: roma.build_pyramid(params, x, use_dino=False))(imgu)
+    pyru = jax.jit(
+        lambda p, x: roma.build_pyramid(p, x, use_dino=False)
+    )(params, imgu)
     fu_q = pyru
     fu_s = {s: jnp.concatenate([v[B:], v[:B]], axis=0) for s, v in pyru.items()}
-    h1, w1 = fu_q["1"].shape[1:3]
-    flow0 = jnp.zeros((2 * B, HC // 1, WC // 1, 2), jnp.float32)[:, :128, :128]
+    flow0 = jnp.zeros((2 * B, 128, 128, 2), jnp.float32)
     cert0 = jnp.zeros((2 * B, 128, 128, 1), jnp.float32)
 
-    def up():
-        return roma.decode(
-            params, fu_q, fu_s, scales=["8", "4", "2", "1"],
-            flow=flow0, certainty=cert0, scale_factor=WU / WC,
+    upf = jax.jit(
+        lambda p, q, s, fl, ce: roma.decode(
+            p, q, s, scales=["8", "4", "2", "1"], flow=fl, certainty=ce,
+            scale_factor=WU / WC,
         )
-
-    t = timeit(jax.jit(up), lambda o: float(jnp.sum(o[0][..., 0])))
+    )
+    t = timeit(lambda: upf(params, fu_q, fu_s, flow0, cert0),
+               lambda o: float(jnp.sum(o[0][..., 0])))
     print(f"decode 8->1 @864 (2 dirs):       {t:8.1f} ms")
 
 

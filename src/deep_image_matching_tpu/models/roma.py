@@ -243,7 +243,10 @@ def gp_posterior(params, f1, f2, T=0.2, sigma_noise=0.1):
     K_xy = cos_kernel(x, y, T)
     K_yy = cos_kernel(y, y, T)
     eye = jnp.eye(H * W, dtype=jnp.float32) * sigma_noise
-    sol = jnp.linalg.solve(K_yy + eye[None], f)
+    # K_yy + sigma*I is SPD: Cholesky halves the factorization cost vs LU
+    # and avoids pivoting (sequential and TPU-hostile at this size).
+    chol = jax.scipy.linalg.cho_factor(K_yy + eye[None], lower=True)
+    sol = jax.scipy.linalg.cho_solve(chol, f)
     mu = jnp.einsum("bnm,bmd->bnd", K_xy, sol, preferred_element_type=jnp.float32)
     return mu.reshape(B, H, W, -1)
 
