@@ -166,8 +166,13 @@ class RomaMatcher(DetectorFreeMatcher):
         # coarse-to-fine feedback loop is non-trivial -> keep f32 unless the
         # user opts in via matcher conf (the DINOv2 encoder stays bf16).
         cdt = str(self.conf.get("decoder_dtype", "float32"))
+        # corr_dtype=bfloat16 halves the local-correlation gather payload
+        # (the dominant refiner cost; ~84 GB/s gather ceiling on v5e) while
+        # keeping flow arithmetic f32. Opt-in: bf16 feature rounding shifts
+        # the correlation heatmaps slightly.
+        corr_dt = self.conf.get("corr_dtype") or None
         warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair(
-            self.params, a, b, decoder_dtype=cdt,
+            self.params, a, b, decoder_dtype=cdt, corr_dtype=corr_dt,
         )
         if self.upsample_preds:
             r = self.upsample_res
@@ -178,6 +183,7 @@ class RomaMatcher(DetectorFreeMatcher):
                 self.params, a_hr, b_hr,
                 warp_ab, cert_ab, warp_ba, cert_ba,
                 scale_factor=scale_factor, compute_dtype=cdt,
+                corr_dtype=corr_dt,
             )
         results = []
         for i, ((HA, WA), (HB, WB)) in enumerate(sizes):

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.deform import bilinear_sample_zeropad
+from ..ops.deform import bilinear_sample_zeropad_wide
 from . import dinov2
 from .vgg_refiner import vgg19_features, vgg19_params_from_torch, init_vgg19_params
 
@@ -212,11 +212,12 @@ def _grid(h, w, dtype=jnp.float32):
 
 def _grid_sample(fmap, coords):
     """torch grid_sample(align_corners=False, zeros) equivalent.
-    fmap (H, W, C); coords (..., 2) normalized."""
+    fmap (H, W, C); coords (..., 2) normalized. Dense use (the refiners
+    sample every output position), so the 4-tap-concat wide-row gather wins."""
     H, W = fmap.shape[:2]
     px = (coords[..., 0] + 1.0) * W / 2.0 - 0.5
     py = (coords[..., 1] + 1.0) * H / 2.0 - 0.5
-    return bilinear_sample_zeropad(fmap, jnp.stack([px, py], axis=-1))
+    return bilinear_sample_zeropad_wide(fmap, jnp.stack([px, py], axis=-1))
 
 
 def cos_kernel(x, y, T=0.2, eps=1e-6):
@@ -294,17 +295,24 @@ def cls_to_flow_refine(cls_logits):
     return flow
 
 
-def local_correlation(f1, f2, flow, radius):
+def local_correlation(f1, f2, flow, radius, with_warp=False, gather_dtype=None):
     """(2r+1)^2 correlation of f1 with f2 sampled around flow targets.
     f1, f2 (H, W, C); flow (H, W, 2) normalized -> (H, W, (2r+1)^2).
 
     The window taps (reference: ``local_corr`` in RoMa's ConvRefiner) are
     spaced exactly one pixel apart (2r/H over r taps in half-normalized
-    coords), so every tap shares the same bilinear fractional weights. We
-    therefore gather (2r+2)^2 integer-shifted feature rows once, correlate,
-    and bilinearly blend the *scalar* maps — ~3.5x fewer HBM gathers than
-    per-tap bilinear sampling (4(2r+1)^2 row-gathers -> (2r+2)^2), with
-    bit-equal semantics up to fp reordering."""
+    coords), so every tap shares the same bilinear fractional weights: we
+    gather the (2r+2)^2 integer window once, correlate, and bilinearly
+    blend the *scalar* maps. TPU gathers are row-descriptor-bound, so the
+    window is fetched as M=2r+2 rows of an x-tap-CONCATENATED map (M*C-wide
+    rows) rather than M^2 rows of C — M-fold fewer descriptors for the same
+    bytes. Out-of-range taps read zeros from an M-wide zero border (same
+    contributions as grid_sample zeros padding; no masks needed).
+
+    ``with_warp=True`` additionally returns the bilinear warp
+    ``grid_sample(f2, flow)`` reconstructed from the already-gathered
+    window's four center taps — saves the refiner's separate x_hat gather.
+    """
     H, W, C = f1.shape
     r = radius
     M = 2 * r + 2
@@ -316,31 +324,50 @@ def local_correlation(f1, f2, flow, radius):
     fx = (px - x0)[..., None, None]
     fy = (py - y0)[..., None, None]
     offs = np.arange(-r, r + 2)
-    oy, ox = np.meshgrid(offs, offs, indexing="ij")  # (M, M)
-    yi = y0[..., None] + oy.reshape(-1)[None, None]  # (H, W, M^2)
-    xi = x0[..., None] + ox.reshape(-1)[None, None]
-    valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-    idx = (
-        jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W
-        + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-    )
-    v = f2.reshape(H * W, C)[idx.reshape(-1)].reshape(H, W, M * M, C)
+    # opt-in bf16 gather payload: the window fetch runs at the TPU gather
+    # bandwidth ceiling (~84 GB/s measured on v5e), so halving the bytes
+    # nearly halves this stage; correlation still accumulates in f32.
+    if gather_dtype is not None:
+        f2 = f2.astype(gather_dtype)
+    # M-wide zero border: every clipped/rolled access lands on zeros
+    f2p = jnp.pad(f2, ((M, M), (M, M), (0, 0)))
+    Hp, Wp = H + 2 * M, W + 2 * M
+    # cat[y, m, j*C:(j+1)*C] = f2p[y, m + offs[j]]  (wraps land in the border)
+    cat = jnp.concatenate(
+        [jnp.roll(f2p, -int(o), axis=1) for o in offs], axis=-1
+    ).reshape(Hp * Wp, M * C)
+    bx = jnp.clip(x0 + M, 0, Wp - 1).astype(jnp.int32)
+    by = (
+        jnp.clip(y0[..., None] + offs[None, None] + M, 0, Hp - 1)
+    ).astype(jnp.int32)  # (H, W, M)
+    idx = by * Wp + bx[..., None]
+    v = cat[idx.reshape(-1)].reshape(H, W, M, M, C)  # (y-tap, x-tap, C)
     g = jnp.einsum(
-        "hwc,hwmc->hwm", f1 / np.sqrt(C), v,
+        "hwc,hwijc->hwij", f1 / np.sqrt(C), v,
         preferred_element_type=jnp.float32,
     )
-    g = (g * valid).reshape(H, W, M, M)
     corr = (
         (1 - fy) * (1 - fx) * g[:, :, 0:K, 0:K]
         + (1 - fy) * fx * g[:, :, 0:K, 1:K + 1]
         + fy * (1 - fx) * g[:, :, 1:K + 1, 0:K]
         + fy * fx * g[:, :, 1:K + 1, 1:K + 1]
+    ).reshape(H, W, K * K)
+    if not with_warp:
+        return corr
+    # bilinear warp from the window's center 2x2 (taps offs==0,1 at i,j=r,r+1)
+    wx1 = fx[..., 0, 0, None]
+    wy1 = fy[..., 0, 0, None]
+    x_hat = (
+        (1 - wy1) * (1 - wx1) * v[:, :, r, r]
+        + (1 - wy1) * wx1 * v[:, :, r, r + 1]
+        + wy1 * (1 - wx1) * v[:, :, r + 1, r]
+        + wy1 * wx1 * v[:, :, r + 1, r + 1]
     )
-    return corr.reshape(H, W, K * K)
+    return corr, x_hat
 
 
 def conv_refiner_fwd(p, f1, f2, flow, scale: str, scale_factor=1.0,
-                     compute_dtype="float32"):
+                     compute_dtype="float32", corr_dtype=None):
     """One refinement step at a scale (reference ConvRefiner.forward).
 
     ``compute_dtype='bfloat16'`` runs the depthwise/1x1 conv stack and the
@@ -362,7 +389,14 @@ def conv_refiner_fwd(p, f1, f2, flow, scale: str, scale_factor=1.0,
         }
 
     def per_image(x, y, fl):
-        x_hat = _grid_sample(y, fl)
+        if radius is not None:
+            # one windowed gather yields both the correlation volume and
+            # the bilinear warp (center taps)
+            corr, x_hat = local_correlation(
+                x, y, fl, radius, with_warp=True, gather_dtype=corr_dtype
+            )
+        else:
+            x_hat = _grid_sample(y, fl)
         coords = _grid(H, W)
         disp = fl - coords
         emb = (40 / 32 * scale_factor * disp) @ p["disp_emb"]["w"].astype(
@@ -370,7 +404,7 @@ def conv_refiner_fwd(p, f1, f2, flow, scale: str, scale_factor=1.0,
         ) + p["disp_emb"]["b"].astype(jnp.float32)
         parts = [x, x_hat.astype(x.dtype), emb.astype(x.dtype)]
         if radius is not None:
-            parts.append(local_correlation(x, y, fl, radius).astype(x.dtype))
+            parts.append(corr.astype(x.dtype))
         d = jnp.concatenate(parts, axis=-1)
         return d
 
@@ -391,9 +425,31 @@ def conv_refiner_fwd(p, f1, f2, flow, scale: str, scale_factor=1.0,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + bp["conv2"]["b"]
 
-    x = block(d, p["block1"], dw=True)
-    for bp in p["hidden"]:
-        x = block(x, bp, dw=True)
+    blocks = [p["block1"]] + list(p["hidden"])
+    use_pallas = (
+        cdt == jnp.float32
+        # measured on v5e: 2-3x for C=24 (scale 1); C=144 (scale 2) is
+        # better served by the XLA conv pair
+        and _h <= 64
+        and jax.default_backend() == "tpu"
+        and all(bp["conv1"]["w"].shape[:2] == (5, 5) for bp in blocks)
+    )
+    if use_pallas:
+        # small-C dw stacks run far off roofline in XLA (see
+        # ops/pallas_refiner.py); the fused kernel keeps lanes full
+        from ..ops.pallas_refiner import refiner_dw_stack
+
+        x = refiner_dw_stack(
+            d,
+            jnp.stack([bp["conv1"]["w"] for bp in blocks]),
+            jnp.stack([bp["conv1"]["b"] for bp in blocks]),
+            jnp.stack([bp["conv2"]["w"] for bp in blocks]),
+            jnp.stack([bp["conv2"]["b"] for bp in blocks]),
+        )
+    else:
+        x = block(d, p["block1"], dw=True)
+        for bp in p["hidden"]:
+            x = block(x, bp, dw=True)
     out = jax.lax.conv_general_dilated(
         x.astype(jnp.float32), p["out"]["w"], (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -410,7 +466,7 @@ def _resize(x, hw):
 
 
 def decode(params, f1_pyr, f2_pyr, scales=SCALES, flow=None, certainty=None,
-           scale_factor=1.0, compute_dtype="float32"):
+           scale_factor=1.0, compute_dtype="float32", corr_dtype=None):
     """Coarse-to-fine warp decoding (reference Decoder.forward)."""
     sizes = {s: f1_pyr[s].shape[1:3] for s in f1_pyr}
     coarsest = scales[0]
@@ -440,7 +496,7 @@ def decode(params, f1_pyr, f2_pyr, scales=SCALES, flow=None, certainty=None,
         ins = int(s)
         delta_flow, delta_cert = conv_refiner_fwd(
             params["refiners"][s], f1_s, f2_s, flow, s, scale_factor,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, corr_dtype=corr_dtype,
         )
         h, w = sizes[s]
         disp = ins * jnp.stack(
@@ -472,9 +528,11 @@ def build_pyramid(params, images, use_dino=True, compute_dtype="bfloat16"):
     return pyr
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "decoder_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "decoder_dtype", "corr_dtype")
+)
 def match_pair_impl(params, imA, imB, compute_dtype="bfloat16",
-                    decoder_dtype="float32"):
+                    decoder_dtype="float32", corr_dtype=None):
     """Symmetric dense matching at the model resolution.
 
     imA/imB (B, H, W, 3) with H, W multiples of 56 (14 and 8 divisible).
@@ -489,17 +547,22 @@ def match_pair_impl(params, imA, imB, compute_dtype="bfloat16",
     pyr = build_pyramid(params, both, compute_dtype=compute_dtype)
     f_q = pyr
     f_s = {s: jnp.concatenate([v[B:], v[:B]], axis=0) for s, v in pyr.items()}
-    flow, cert = decode(params, f_q, f_s, compute_dtype=decoder_dtype)
+    flow, cert = decode(
+        params, f_q, f_s, compute_dtype=decoder_dtype, corr_dtype=corr_dtype
+    )
     return flow[:B], cert[:B], flow[B:], cert[B:]
 
 
 match_pair = match_pair_impl
 
 
-@functools.partial(jax.jit, static_argnames=("scale_factor", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("scale_factor", "compute_dtype", "corr_dtype")
+)
 def match_pair_upsample(
     params, imA_hr, imB_hr, flow_ab, cert_ab, flow_ba, cert_ba,
     scale_factor: float = 1.0, compute_dtype: str = "float32",
+    corr_dtype=None,
 ):
     """Second refinement pass at the upsample resolution (reference
     ``RegressionMatcher.match`` upsample_preds path): VGG-only pyramid
@@ -519,7 +582,7 @@ def match_pair_upsample(
     flow, cert = decode(
         params, f_q, f_s, scales=["8", "4", "2", "1"],
         flow=flow, certainty=cert, scale_factor=scale_factor,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, corr_dtype=corr_dtype,
     )
     return flow[:B], cert[:B], flow[B:], cert[B:]
 

@@ -51,6 +51,53 @@ def bilinear_sample_zeropad(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarr
     return out
 
 
+def bilinear_sample_zeropad_wide(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Same result as :func:`bilinear_sample_zeropad`, ONE gather instead of 4.
+
+    TPU gathers are row-descriptor-bound at small C (a C=9 f32 row is 36 B
+    against a >=512 B useful granularity), so the 4 corner gathers dominate
+    dense-warp time. This variant concatenates the 4 bilinear taps
+    (identity, x+1, y+1, xy+1 shifts of a zero-padded map) channel-wise and
+    gathers a single 4C-wide row per position. Worth it when the number of
+    sampled positions is on the order of H*W (dense warps); for sparse
+    keypoint sampling prefer the plain version (the 4x map build dominates).
+    """
+    H, W, C = fmap.shape
+    # one leading zero row/col so a floor==-1 base lands on zeros while its
+    # +1 tap reads the true border texel
+    fp = jnp.pad(fmap, ((1, 0), (1, 0), (0, 0)))            # (H+1, W+1, C)
+    fx = jnp.pad(fp[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    fy = jnp.pad(fp[1:], ((0, 1), (0, 0), (0, 0)))
+    fxy = jnp.pad(fp[1:, 1:], ((0, 1), (0, 1), (0, 0)))
+    cat = jnp.concatenate([fp, fx, fy, fxy], axis=-1)
+    cat = cat.reshape((H + 1) * (W + 1), 4 * C)
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    bx = jnp.clip(x0 + 1, 0, W).astype(jnp.int32)
+    by = jnp.clip(y0 + 1, 0, H).astype(jnp.int32)
+    v = cat[(by * (W + 1) + bx).reshape(-1)].reshape(*x.shape, 4, C)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    vx0 = (x0 >= 0) & (x0 <= W - 1)
+    vx1 = (x0 >= -1) & (x0 <= W - 2)
+    vy0 = (y0 >= 0) & (y0 <= H - 1)
+    vy1 = (y0 >= -1) & (y0 <= H - 2)
+    wts = jnp.stack(
+        [
+            wy0 * wx0 * (vy0 & vx0),
+            wy0 * wx1 * (vy0 & vx1),
+            wy1 * wx0 * (vy1 & vx0),
+            wy1 * wx1 * (vy1 & vx1),
+        ],
+        axis=-1,
+    )
+    return jnp.einsum("...tc,...t->...c", v, wts.astype(v.dtype))
+
+
 def deform_conv2d(
     x: jnp.ndarray,        # (H, W, Cin)
     offset: jnp.ndarray,   # (H, W, 2*KK) — torchvision layout: (dy, dx) per k

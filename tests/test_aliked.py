@@ -168,3 +168,25 @@ def test_aliked_pretrained_functional(image_dir):
     dy = np.median(k0[:, 1] - k1[:, 1])
     assert abs(dx - shift) < 1.5
     assert abs(dy) < 1.5
+
+
+def test_bilinear_zeropad_wide_matches_plain():
+    from deep_image_matching_tpu.ops.deform import (
+        bilinear_sample_zeropad,
+        bilinear_sample_zeropad_wide,
+    )
+
+    rng = np.random.default_rng(1)
+    H, W, C = 11, 19, 7
+    fmap = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    # cover interiors, borders, the floor==-1 edge band, and far out-of-range
+    coords = np.concatenate(
+        [
+            rng.uniform([-0.999, -0.999], [W - 1, H - 1], size=(64, 2)),
+            rng.uniform([-6, -6], [W + 5, H + 5], size=(64, 2)),
+            np.array([[-0.5, 3.0], [W - 1.0, H - 1.0], [-1.0, -1.0], [0.0, 0.0]]),
+        ]
+    ).astype(np.float32)
+    got = np.asarray(bilinear_sample_zeropad_wide(fmap, jnp.asarray(coords)))
+    ref = np.asarray(bilinear_sample_zeropad(fmap, jnp.asarray(coords)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -159,3 +159,28 @@ def test_roma_pipeline_shapes():
     assert len(matches) <= 500 and len(matches) > 0
     kA, kB = rm.to_pixel_coordinates(matches, 224, 224, 224, 224)
     assert (kA >= 0).all() and (kA <= 224).all()
+
+
+def test_local_correlation_with_warp_matches_grid_sample():
+    from deep_image_matching_tpu.models.roma import (
+        _grid,
+        _grid_sample,
+        local_correlation,
+    )
+
+    rng = np.random.default_rng(3)
+    H = W = 16
+    C = 8
+    f1 = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    # flow wandering off-image to exercise the zero border
+    flow = jnp.asarray(
+        (np.asarray(_grid(H, W)) + rng.normal(0, 0.4, (H, W, 2))).astype(
+            np.float32
+        )
+    )
+    corr_plain = local_correlation(f1, f2, flow, 2)
+    corr, x_hat = local_correlation(f1, f2, flow, 2, with_warp=True)
+    np.testing.assert_allclose(np.asarray(corr), np.asarray(corr_plain), atol=1e-6)
+    ref = _grid_sample(f2, flow)
+    np.testing.assert_allclose(np.asarray(x_hat), np.asarray(ref), atol=1e-5)
