@@ -136,5 +136,52 @@ def main():
     print(f"decode 8->1 @864 (2 dirs):       {t:8.1f} ms")
 
 
+def e2e():
+    """Full pair: coarse 560 symmetric + 864 upsample refinement."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_image_matching_tpu.models import roma
+
+    print("device:", jax.devices()[0], file=sys.stderr)
+    params = roma.init_params(jax.random.PRNGKey(0), dinov2_depth=24)
+    B, HC, HU = 1, 560, 864
+    key = jax.random.PRNGKey(1)
+    imc = jax.random.uniform(key, (B, HC, HC, 3), jnp.float32)
+    imu = jax.random.uniform(key, (B, HU, HU, 3), jnp.float32)
+
+    z = jnp.zeros(())
+    for _ in range(3):
+        float(z + 1)
+    t0 = time.time()
+    for _ in range(5):
+        float(z + 1)
+    rtt = (time.time() - t0) / 5
+
+    for corr_dt in (None, "bfloat16"):
+        def run():
+            w_ab, c_ab, w_ba, c_ba = roma.match_pair_impl(
+                params, imc, imc, corr_dtype=corr_dt
+            )
+            return roma.match_pair_upsample(
+                params, imu, imu, w_ab, c_ab, w_ba, c_ba,
+                scale_factor=HU / HC, corr_dtype=corr_dt,
+            )
+        out = run()
+        float(jnp.sum(out[0]))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(6):
+                out = run()
+            float(jnp.sum(out[0][..., 0]))
+            best = min(best, (time.time() - t0 - rtt) / 6)
+        print(f"e2e pair 560+864 corr_dtype={corr_dt}: {best*1e3:7.1f} ms "
+              f"-> {1/best:5.2f} pairs/s")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "e2e":
+        e2e()
+    else:
+        main()

@@ -295,7 +295,8 @@ def cls_to_flow_refine(cls_logits):
     return flow
 
 
-def local_correlation(f1, f2, flow, radius, with_warp=False, gather_dtype=None):
+def local_correlation(f1, f2, flow, radius, with_warp=False, gather_dtype=None,
+                      impl="auto"):
     """(2r+1)^2 correlation of f1 with f2 sampled around flow targets.
     f1, f2 (H, W, C); flow (H, W, 2) normalized -> (H, W, (2r+1)^2).
 
@@ -310,8 +311,20 @@ def local_correlation(f1, f2, flow, radius, with_warp=False, gather_dtype=None):
     contributions as grid_sample zeros padding; no masks needed).
 
     ``with_warp=True`` additionally returns the bilinear warp
-    ``grid_sample(f2, flow)`` reconstructed from the already-gathered
-    window's four center taps — saves the refiner's separate x_hat gather.
+    ``grid_sample(f2, flow)``, reconstructed from the gathered feature
+    window when available (saves the refiner's separate x_hat gather).
+
+    Two implementations, chosen by a static cost model (v5e measured:
+    gathers cap at ~84 GB/s; MXU matmul ~25/90 TMAC/s f32/bf16):
+
+    - **feature-window gather**: fetch the M x M x C window per position
+      (as M rows of an x-tap-concatenated map) and contract on the VPU.
+      Gathered bytes: N * M^2 * C * itemsize.
+    - **dense-correlate-then-slice**: compute ALL correlations
+      ``f1 @ f2p^T`` on the MXU (flops are cheap), then gather one
+      M*Wp-long *scalar* slice per position — a C-fold cut in gathered
+      bytes. Wins when the position count is small relative to C
+      (the coarse scales).
     """
     H, W, C = f1.shape
     r = radius
@@ -324,28 +337,37 @@ def local_correlation(f1, f2, flow, radius, with_warp=False, gather_dtype=None):
     fx = (px - x0)[..., None, None]
     fy = (py - y0)[..., None, None]
     offs = np.arange(-r, r + 2)
-    # opt-in bf16 gather payload: the window fetch runs at the TPU gather
-    # bandwidth ceiling (~84 GB/s measured on v5e), so halving the bytes
-    # nearly halves this stage; correlation still accumulates in f32.
-    if gather_dtype is not None:
-        f2 = f2.astype(gather_dtype)
-    # M-wide zero border: every clipped/rolled access lands on zeros
-    f2p = jnp.pad(f2, ((M, M), (M, M), (0, 0)))
+    N = H * W
     Hp, Wp = H + 2 * M, W + 2 * M
-    # cat[y, m, j*C:(j+1)*C] = f2p[y, m + offs[j]]  (wraps land in the border)
-    cat = jnp.concatenate(
-        [jnp.roll(f2p, -int(o), axis=1) for o in offs], axis=-1
-    ).reshape(Hp * Wp, M * C)
-    bx = jnp.clip(x0 + M, 0, Wp - 1).astype(jnp.int32)
-    by = (
-        jnp.clip(y0[..., None] + offs[None, None] + M, 0, Hp - 1)
-    ).astype(jnp.int32)  # (H, W, M)
-    idx = by * Wp + bx[..., None]
-    v = cat[idx.reshape(-1)].reshape(H, W, M, M, C)  # (y-tap, x-tap, C)
-    g = jnp.einsum(
-        "hwc,hwijc->hwij", f1 / np.sqrt(C), v,
-        preferred_element_type=jnp.float32,
-    )
+    # v5e measured (profile_roma decode prefixes): dense wins only at the
+    # coarsest scale (N~1.2k: 23.6 -> 15.4 ms marginal); at N>=4.9k the
+    # chunked dense+slice path measured SLOWER than the window gather
+    # despite a favorable FLOP model (s8: 27 vs 12 ms, s4: 84 vs 24 ms).
+    v = None
+    if impl == "dense" or (impl == "auto" and N <= 1500):
+        g = _local_corr_dense(
+            f1, f2, x0, y0, r, M, Hp, Wp, gather_dtype
+        )
+    else:
+        # opt-in bf16 gather payload: halving the bytes nearly halves the
+        # stage at the gather ceiling; correlation still accumulates f32.
+        f2g = f2 if gather_dtype is None else f2.astype(gather_dtype)
+        # M-wide zero border: every clipped/rolled access lands on zeros
+        f2p = jnp.pad(f2g, ((M, M), (M, M), (0, 0)))
+        # cat[y, m, j*C:(j+1)*C] = f2p[y, m + offs[j]] (wraps hit the border)
+        cat = jnp.concatenate(
+            [jnp.roll(f2p, -int(o), axis=1) for o in offs], axis=-1
+        ).reshape(Hp * Wp, M * C)
+        bx = jnp.clip(x0 + M, 0, Wp - 1).astype(jnp.int32)
+        by = (
+            jnp.clip(y0[..., None] + offs[None, None] + M, 0, Hp - 1)
+        ).astype(jnp.int32)  # (H, W, M)
+        idx = by * Wp + bx[..., None]
+        v = cat[idx.reshape(-1)].reshape(H, W, M, M, C)  # (y-tap, x-tap, C)
+        g = jnp.einsum(
+            "hwc,hwijc->hwij", f1 / np.sqrt(C), v,
+            preferred_element_type=jnp.float32,
+        )
     corr = (
         (1 - fy) * (1 - fx) * g[:, :, 0:K, 0:K]
         + (1 - fy) * fx * g[:, :, 0:K, 1:K + 1]
@@ -354,16 +376,73 @@ def local_correlation(f1, f2, flow, radius, with_warp=False, gather_dtype=None):
     ).reshape(H, W, K * K)
     if not with_warp:
         return corr
-    # bilinear warp from the window's center 2x2 (taps offs==0,1 at i,j=r,r+1)
-    wx1 = fx[..., 0, 0, None]
-    wy1 = fy[..., 0, 0, None]
-    x_hat = (
-        (1 - wy1) * (1 - wx1) * v[:, :, r, r]
-        + (1 - wy1) * wx1 * v[:, :, r, r + 1]
-        + wy1 * (1 - wx1) * v[:, :, r + 1, r]
-        + wy1 * wx1 * v[:, :, r + 1, r + 1]
-    )
+    if v is None:
+        x_hat = _grid_sample(f2, flow)
+    else:
+        # bilinear warp from the window's center 2x2 (offs 0,1 = taps r,r+1)
+        wx1 = fx[..., 0, 0, None]
+        wy1 = fy[..., 0, 0, None]
+        x_hat = (
+            (1 - wy1) * (1 - wx1) * v[:, :, r, r]
+            + (1 - wy1) * wx1 * v[:, :, r, r + 1]
+            + wy1 * (1 - wx1) * v[:, :, r + 1, r]
+            + wy1 * wx1 * v[:, :, r + 1, r + 1]
+        )
     return corr, x_hat
+
+
+def _local_corr_dense(f1, f2, x0, y0, r, M, Hp, Wp, dtype):
+    """Dense-correlate-then-slice window extraction (see local_correlation).
+
+    Returns g (H, W, M, M) with g[p, dy, dx] = <f1[p], f2[y0-r+dy, x0-r+dx]>
+    / sqrt(C), zeros for out-of-range taps. The full correlation matrix is
+    chunked over positions to bound HBM (sequential lax.map)."""
+    H, W, C = f1.shape
+    N = H * W
+    f1c = (f1 if dtype is None else f1.astype(dtype)).reshape(N, C)
+    f2c = f2 if dtype is None else f2.astype(dtype)
+    # M-wide zero border + one extra zero row so every clamped M*Wp-slice
+    # stays in bounds without lax.gather's clip moving the window
+    f2p = jnp.pad(f2c, ((M, M + 1), (M, M), (0, 0))).reshape(-1, C)
+    row = jnp.clip(y0 + (M - r), 0, Hp - M).astype(jnp.int32)
+    col = jnp.clip(x0 + (M - r), 0, Wp - M).astype(jnp.int32)
+    start = (row * Wp + col).reshape(N)
+    MWp = M * Wp
+
+    def chunk_fn(args):
+        f1_chunk, start_chunk = args
+        cfull = jax.lax.dot_general(
+            f1_chunk, f2p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, (Hp+1)*Wp)
+        p = f1_chunk.shape[0]
+        starts = jnp.stack(
+            [jnp.arange(p, dtype=jnp.int32), start_chunk], axis=-1
+        )
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1),
+        )
+        # CLIP, not PROMISE_IN_BOUNDS: a NaN flow value (possible with
+        # untrained weights) casts to garbage int32 and a promised OOB
+        # access hard-faults the TPU worker; the runtime clamp is free.
+        return jax.lax.gather(
+            cfull, starts, dnums, slice_sizes=(1, MWp),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (P, MWp)
+
+    cf_bytes = N * (Hp + 1) * Wp * 4
+    nch = 1
+    while cf_bytes // nch > int(512e6) or N % nch:
+        nch += 1
+    if nch == 1:
+        seg = chunk_fn((f1c, start))
+    else:
+        seg = jax.lax.map(
+            chunk_fn,
+            (f1c.reshape(nch, N // nch, C), start.reshape(nch, N // nch)),
+        ).reshape(N, MWp)
+    return seg.reshape(H, W, M, Wp)[:, :, :, :M] / np.sqrt(C)
 
 
 def conv_refiner_fwd(p, f1, f2, flow, scale: str, scale_factor=1.0,

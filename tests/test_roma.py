@@ -184,3 +184,29 @@ def test_local_correlation_with_warp_matches_grid_sample():
     np.testing.assert_allclose(np.asarray(corr), np.asarray(corr_plain), atol=1e-6)
     ref = _grid_sample(f2, flow)
     np.testing.assert_allclose(np.asarray(x_hat), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["gather", "dense"])
+def test_local_correlation_impls_parity(impl):
+    ref_lc = _load("ref_roma_lc", f"{ROMA_DIR}/roma/utils/local_correlation.py")
+    from deep_image_matching_tpu.models.roma import local_correlation, _grid
+
+    rng = np.random.default_rng(7)
+    C, H, W, r = 8, 10, 12, 2
+    f1 = rng.normal(size=(1, C, H, W)).astype(np.float32)
+    f2 = rng.normal(size=(1, C, H, W)).astype(np.float32)
+    flow = np.asarray(_grid(H, W))[None].transpose(0, 3, 1, 2).astype(np.float32)
+    flow = flow + rng.normal(scale=0.3, size=flow.shape).astype(np.float32)
+    ref = ref_lc.local_correlation(
+        torch.from_numpy(f1), torch.from_numpy(f2), local_radius=r,
+        flow=torch.from_numpy(flow),
+    ).numpy()
+    got = np.asarray(
+        local_correlation(
+            jnp.asarray(f1[0].transpose(1, 2, 0)),
+            jnp.asarray(f2[0].transpose(1, 2, 0)),
+            jnp.asarray(flow[0].transpose(1, 2, 0)),
+            r, impl=impl,
+        )
+    )
+    np.testing.assert_allclose(got, ref[0].transpose(1, 2, 0), atol=1e-4)
