@@ -73,17 +73,28 @@ def main():
     )
     try:
         t = timeit(lambda: cm(t0_, t1_), lambda o: float(jnp.sum(o[0])))
-        print(f"coarse match:               {t:8.1f} ms")
+        print(f"coarse match (dense):       {t:8.1f} ms")
     except Exception as e:
         print("coarse match skipped:", repr(e)[:120])
-
-    full = jax.jit(
-        lambda p, a, b: loftr.match_pair_impl(p, a, b)
+    cmb = jax.jit(
+        lambda a, b: loftr.coarse_match_blocked(a, b, (Hc, Wc), (Hc, Wc), 2048)
     )
-    t = timeit(lambda: full(params, img[:1], img[1:]),
-               lambda o: float(jnp.sum(o["keypoints0"])))
-    print(f"full pair:                  {t:8.1f} ms")
-    print(f"-> {1000/t:5.2f} pairs/s @ {H}px", file=sys.stderr)
+    try:
+        t = timeit(lambda: cmb(t0_, t1_), lambda o: float(jnp.sum(o[0])))
+        print(f"coarse match (blocked):     {t:8.1f} ms")
+    except Exception as e:
+        print("blocked coarse match skipped:", repr(e)[:120])
+
+    for impl in ("dense", "blocked"):
+        full = jax.jit(
+            lambda p, a, b, _i=impl: loftr.match_pair_impl(
+                p, a, b, coarse_impl=_i
+            )
+        )
+        t = timeit(lambda: full(params, img[:1], img[1:]),
+                   lambda o: float(jnp.sum(o["keypoints0"])))
+        print(f"full pair ({impl}):         {t:8.1f} ms"
+              f" -> {1000/t:5.2f} pairs/s @ {H}px")
 
 
 def bf16():

@@ -64,6 +64,9 @@ class LOFTRMatcher(DetectorFreeMatcher):
         "max_matches": 2048,
         "match_threshold": 0.2,
         "max_tile_size": 1200,
+        # "blocked" streams the dual-softmax without materializing the
+        # (L, S) confidence matrix (models/loftr.py:coarse_match_blocked)
+        "coarse_impl": "dense",
     }
 
     def __init__(self, config: dict):
@@ -153,6 +156,7 @@ class LOFTRMatcher(DetectorFreeMatcher):
                 max_matches=self.max_matches,
                 threshold=self.match_threshold,
                 compute_dtype=str(self.conf.get("compute_dtype", "float32")),
+                coarse_impl=str(self.conf.get("coarse_impl", "dense")),
             )
             out = {k: np.asarray(v) for k, v in out.items()}
             for b, i in enumerate(idxs):

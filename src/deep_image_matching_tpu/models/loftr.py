@@ -384,6 +384,121 @@ def coarse_match(
     return i_ids, j_ids, top_conf, valid
 
 
+def coarse_match_blocked(
+    fc0, fc1, hw0, hw1, max_matches: int,
+    threshold: float = 0.2, temperature: float = 0.1, border_rm: int = 2,
+    block: int = 2048,
+):
+    """Streaming dual-softmax coarse matching: identical semantics to
+    :func:`coarse_match` without ever materializing the (L, S) confidence
+    matrix (468 MB f32 at 832 px, touched ~6x by the dense path's
+    softmax/mutual/mask chain).
+
+    Two passes over row blocks of the similarity matrix, recomputing the
+    block matmul each pass (MXU FLOPs are cheaper than the HBM round-trips
+    they replace):
+
+    1. row logsumexp directly + column logsumexp via online accumulation;
+    2. ``logconf = 2*sim - row_lse - col_lse`` per block -> per-row
+       (argmax, max) + online per-column (argmax, max).
+
+    Mutual-NN then reduces to ``col_argmax[j_best[i]] == i`` (a row/column
+    can be mutual only at its own argmax), and the reference's
+    threshold/border masks apply to O(L+S) vectors instead of the full
+    matrix. Reference semantics: ``coarse_matching.py:107-210`` (mutual NN
+    on the *unmasked* conf, threshold+border applied after).
+    """
+    B, L, C = fc0.shape
+    S = fc1.shape[1]
+    # dense path: (f0/sqrt(C)) @ (f1/sqrt(C))^T / temp  ->  net 1/(C*temp)
+    scale = 1.0 / (C * temperature)
+    f0 = fc0.astype(jnp.float32) * scale
+    f1 = fc1.astype(jnp.float32)
+
+    nb = -(-L // block)
+    Lp = nb * block
+    f0p = jnp.pad(f0, ((0, 0), (0, Lp - L), (0, 0)))
+    row_real = jnp.arange(Lp) < L
+    bases = jnp.arange(nb, dtype=jnp.int32) * block
+    NEG = jnp.float32(-1e30)
+
+    h0, w0 = hw0
+    h1, w1 = hw1
+
+    def border_mask(h, w, n):
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        ok = (
+            (ys >= border_rm) & (ys < h - border_rm)
+            & (xs >= border_rm) & (xs < w - border_rm)
+        )
+        return ok.reshape(n)
+
+    ok0 = jnp.pad(border_mask(h0, w0, L), (0, Lp - L))
+    ok1 = border_mask(h1, w1, S)
+
+    def one_image(f0p_i, f1_i):
+        f0b = f0p_i.reshape(nb, block, C)
+        rvb = row_real.reshape(nb, block)
+
+        def pass1(carry, inp):
+            cmax, csum = carry
+            fb, rv = inp
+            sim = fb @ f1_i.T  # (block, S) f32, already /temp-scaled
+            sim = jnp.where(rv[:, None], sim, NEG)
+            rmax = jnp.max(sim, axis=1)
+            rsum = jnp.sum(jnp.exp(sim - rmax[:, None]), axis=1)
+            rlse = rmax + jnp.log(rsum)
+            bmax = jnp.max(sim, axis=0)
+            ncmax = jnp.maximum(cmax, bmax)
+            csum = csum * jnp.exp(cmax - ncmax) + jnp.sum(
+                jnp.exp(sim - ncmax[None]), axis=0
+            )
+            return (ncmax, csum), rlse
+
+        (cmax, csum), rlse_b = jax.lax.scan(
+            pass1, (jnp.full((S,), NEG), jnp.zeros((S,))), (f0b, rvb)
+        )
+        clse = cmax + jnp.log(csum)  # (S,)
+        rlse = rlse_b.reshape(Lp)
+
+        def pass2(carry, inp):
+            colmax, colarg = carry
+            fb, rv, rl, base = inp
+            sim = fb @ f1_i.T
+            sim = jnp.where(rv[:, None], sim, NEG)
+            logconf = 2.0 * sim - rl[:, None] - clse[None, :]
+            jstar = jnp.argmax(logconf, axis=1)
+            rbest = jnp.take_along_axis(logconf, jstar[:, None], axis=1)[:, 0]
+            bmax = jnp.max(logconf, axis=0)
+            barg = jnp.argmax(logconf, axis=0).astype(jnp.int32) + base
+            upd = bmax > colmax
+            return (
+                jnp.where(upd, bmax, colmax),
+                jnp.where(upd, barg, colarg),
+            ), (jstar, rbest)
+
+        (colmax, colarg), (jstar_b, rbest_b) = jax.lax.scan(
+            pass2,
+            (jnp.full((S,), NEG), jnp.zeros((S,), jnp.int32)),
+            (f0b, rvb, rlse_b, bases),
+        )
+        jstar = jstar_b.reshape(Lp)
+        conf = jnp.exp(rbest_b.reshape(Lp))
+        mutual = colarg[jstar] == jnp.arange(Lp, dtype=jnp.int32)
+        valid = (
+            mutual & (conf > threshold) & ok0 & ok1[jstar] & row_real
+        )
+        row_conf = jnp.where(valid, conf, 0.0)[:L]
+        return jstar[:L], row_conf
+
+    j_best, row_conf = jax.vmap(one_image)(f0p, f1)
+    top_conf, i_ids = jax.lax.top_k(row_conf, min(max_matches, L))
+    j_ids = jnp.take_along_axis(j_best, i_ids, axis=1)
+    valid = top_conf > 0.0
+    return i_ids, j_ids, top_conf, valid
+
+
 def fine_refine(
     params, ff0, ff1, fc0, fc1, i_ids, j_ids, valid, hw0_c, hw1_c,
     window: int = FINE_WINDOW, stride: int = 4, nhead=NHEAD,
@@ -450,6 +565,7 @@ def match_pair_impl(
     threshold: float = 0.2,
     temp_bug_fix: bool = False,
     compute_dtype: str = "float32",
+    coarse_impl: str = "dense",
 ) -> Dict[str, jnp.ndarray]:
     """``compute_dtype='bfloat16'`` runs the conv backbone and the coarse
     transformer in bf16 (layernorm / attention accumulation, dual-softmax
@@ -489,7 +605,8 @@ def match_pair_impl(
             lambda v: v.astype(jnp.float32) if v.dtype == cdt else v, params
         )
 
-    i_ids, j_ids, conf, valid = coarse_match(
+    matcher = coarse_match_blocked if coarse_impl == "blocked" else coarse_match
+    i_ids, j_ids, conf, valid = matcher(
         fc0, fc1, (h0c, w0c), (h1c, w1c), max_matches, threshold
     )
     offsets1 = fine_refine(
@@ -516,5 +633,5 @@ def match_pair_impl(
 match_pair = jax.jit(
     match_pair_impl,
     static_argnames=("max_matches", "threshold", "temp_bug_fix",
-                     "compute_dtype"),
+                     "compute_dtype", "coarse_impl"),
 )

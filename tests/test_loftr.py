@@ -204,3 +204,44 @@ def test_loftr_pipeline_shapes():
     if len(k0):
         assert k0[:, 0].max() < 128 and k0[:, 1].max() < 96
         assert k1[:, 0].max() < 128 + 8 and k1[:, 1].max() < 96 + 8
+
+
+def test_coarse_match_blocked_parity():
+    """The streaming (blocked) coarse matcher must agree with the dense
+    one on arbitrary features, including when L is not a block multiple."""
+    from deep_image_matching_tpu.models.loftr import (
+        coarse_match,
+        coarse_match_blocked,
+    )
+
+    rng = np.random.default_rng(7)
+    h0c, w0c = 9, 13
+    h1c, w1c = 11, 10
+    L, S = h0c * w0c, h1c * w1c
+    f0 = rng.normal(size=(2, L, 64)).astype(np.float32) * 2
+    f1 = rng.normal(size=(2, S, 64)).astype(np.float32) * 2
+    # plant some strong mutual correspondences
+    f1[:, 5:40] = f0[:, 20:55] + rng.normal(
+        scale=0.01, size=(2, 35, 64)
+    ).astype(np.float32)
+
+    args = (jnp.asarray(f0), jnp.asarray(f1), (h0c, w0c), (h1c, w1c))
+    di, dj, dc, dv = map(np.asarray, coarse_match(*args, max_matches=64))
+    bi, bj, bc, bv = map(
+        np.asarray, coarse_match_blocked(*args, max_matches=64, block=32)
+    )
+    # top_k order may differ between the two for near-tied confidences:
+    # compare the match *sets* per batch element
+    assert dv.sum() == bv.sum() > 0
+    for b in range(2):
+        dense = {
+            (i, j): c
+            for i, j, c in zip(di[b][dv[b]], dj[b][dv[b]], dc[b][dv[b]])
+        }
+        blocked = {
+            (i, j): c
+            for i, j, c in zip(bi[b][bv[b]], bj[b][bv[b]], bc[b][bv[b]])
+        }
+        assert dense.keys() == blocked.keys()
+        for key, c in dense.items():
+            np.testing.assert_allclose(blocked[key], c, rtol=1e-4, atol=1e-6)
