@@ -157,6 +157,7 @@ class LOFTRMatcher(DetectorFreeMatcher):
                 threshold=self.match_threshold,
                 compute_dtype=str(self.conf.get("compute_dtype", "float32")),
                 coarse_impl=str(self.conf.get("coarse_impl", "dense")),
+                temperature=float(self.conf.get("dsmax_temperature", 0.1)),
             )
             out = {k: np.asarray(v) for k, v in out.items()}
             for b, i in enumerate(idxs):

@@ -102,10 +102,12 @@ def params_from_torch(state_dict, temp_bug_fix: bool = False) -> Params:
         }
 
     n_coarse = 1 + max(
-        int(k.split(".")[2]) for k in sd if k.startswith("loftr_coarse.layers.")
+        (int(k.split(".")[2]) for k in sd if k.startswith("loftr_coarse.layers.")),
+        default=-1,
     )
     n_fine = 1 + max(
-        int(k.split(".")[2]) for k in sd if k.startswith("loftr_fine.layers.")
+        (int(k.split(".")[2]) for k in sd if k.startswith("loftr_fine.layers.")),
+        default=-1,
     )
     params: Params = {
         "backbone": {
@@ -566,6 +568,7 @@ def match_pair_impl(
     temp_bug_fix: bool = False,
     compute_dtype: str = "float32",
     coarse_impl: str = "dense",
+    temperature: float = 0.1,
 ) -> Dict[str, jnp.ndarray]:
     """``compute_dtype='bfloat16'`` runs the conv backbone and the coarse
     transformer in bf16 (layernorm / attention accumulation, dual-softmax
@@ -607,7 +610,7 @@ def match_pair_impl(
 
     matcher = coarse_match_blocked if coarse_impl == "blocked" else coarse_match
     i_ids, j_ids, conf, valid = matcher(
-        fc0, fc1, (h0c, w0c), (h1c, w1c), max_matches, threshold
+        fc0, fc1, (h0c, w0c), (h1c, w1c), max_matches, threshold, temperature
     )
     offsets1 = fine_refine(
         params, ff0, ff1, fc0, fc1, i_ids, j_ids, valid, (h0c, w0c), (h1c, w1c)
@@ -633,5 +636,5 @@ def match_pair_impl(
 match_pair = jax.jit(
     match_pair_impl,
     static_argnames=("max_matches", "threshold", "temp_bug_fix",
-                     "compute_dtype", "coarse_impl"),
+                     "compute_dtype", "coarse_impl", "temperature"),
 )

@@ -245,3 +245,223 @@ def test_coarse_match_blocked_parity():
         assert dense.keys() == blocked.keys()
         for key, c in dense.items():
             np.testing.assert_allclose(blocked[key], c, rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Full-model parity vs the vendored torch LoFTR (ResNetFPN backbone variant)
+# ---------------------------------------------------------------------------
+
+def _import_ref_full_loftr():
+    """Import the vendored torch LoFTR package with its unused heavy deps
+    (e2cnn / yacs / kornia) replaced by exact minimal stand-ins."""
+    import types
+
+    # --- yacs: a dict-backed CfgNode so cvpr_ds_config's lower_config works
+    class _CN(dict):
+        def __setattr__(self, k, v):
+            self[k] = v
+
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:  # pragma: no cover
+                raise AttributeError(k) from e
+
+    yacs = types.ModuleType("yacs")
+    yacs_config = types.ModuleType("yacs.config")
+    yacs_config.CfgNode = _CN
+    yacs.config = yacs_config
+
+    # --- kornia: exact reimplementations of the two functions used
+    def _create_meshgrid(h, w, normalized=True, device=None, dtype=None):
+        ys = torch.linspace(-1, 1, h) if normalized else torch.arange(h).float()
+        xs = torch.linspace(-1, 1, w) if normalized else torch.arange(w).float()
+        gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+        return torch.stack([gx, gy], -1)[None]  # (1, h, w, 2) xy order
+
+    def _spatial_expectation2d(heat, normalized=True):
+        B, N, H, W = heat.shape
+        grid = _create_meshgrid(H, W, normalized).reshape(1, 1, H * W, 2)
+        return (heat.reshape(B, N, H * W, 1) * grid).sum(2)
+
+    kornia = types.ModuleType("kornia")
+    kgeom = types.ModuleType("kornia.geometry")
+    ksubpix = types.ModuleType("kornia.geometry.subpix")
+    kdsnt = types.ModuleType("kornia.geometry.subpix.dsnt")
+    kdsnt.spatial_expectation2d = _spatial_expectation2d
+    ksubpix.dsnt = kdsnt
+    kgeom.subpix = ksubpix
+    kornia.geometry = kgeom
+    kutils = types.ModuleType("kornia.utils")
+    kgrid = types.ModuleType("kornia.utils.grid")
+    kgrid.create_meshgrid = _create_meshgrid
+    kutils.grid = kgrid
+    kornia.utils = kutils
+
+    e2cnn = types.ModuleType("e2cnn")
+    e2cnn.nn = types.ModuleType("e2cnn.nn")
+    e2cnn.gspaces = types.ModuleType("e2cnn.gspaces")
+
+    stubs = {
+        "yacs": yacs, "yacs.config": yacs_config,
+        "kornia": kornia, "kornia.geometry": kgeom,
+        "kornia.geometry.subpix": ksubpix,
+        "kornia.geometry.subpix.dsnt": kdsnt,
+        "kornia.utils": kutils, "kornia.utils.grid": kgrid,
+        "e2cnn": e2cnn, "e2cnn.nn": e2cnn.nn, "e2cnn.gspaces": e2cnn.gspaces,
+    }
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+
+    root = "/root/reference/src/deep_image_matching/thirdparty/se2loftr/src"
+    spec = importlib.util.spec_from_file_location(
+        "se2l_src", f"{root}/__init__.py",
+        submodule_search_locations=[root],
+    )
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["se2l_src"] = pkg
+    spec.loader.exec_module(pkg)
+    loftr_mod = importlib.import_module("se2l_src.loftr")
+    return loftr_mod.LoFTR, saved
+
+
+def test_loftr_full_model_parity():
+    """Convert a randomly initialized vendored torch LoFTR and compare the
+    FULL pipeline (backbone -> coarse transformer -> dual-softmax coarse
+    match -> fine refinement) match-for-match, both coarse impls."""
+    LoFTR, _ = _import_ref_full_loftr()
+    from deep_image_matching_tpu.models import loftr as jloftr
+
+    cfg = {
+        "backbone_type": "ResNetFPN",
+        "resolution": (8, 2),
+        "fine_window_size": 5,
+        "fine_concat_coarse_feat": True,
+        "resnetfpn": {"initial_dim": 128, "block_dims": [128, 196, 256]},
+        "coarse": {
+            "d_model": 256, "d_ffn": 256, "nhead": 8,
+            "layer_names": ["self", "cross"] * 4,
+            "attention": "linear", "temp_bug_fix": False,
+        },
+        "match_coarse": {
+            "thr": 1e-4, "border_rm": 2, "match_type": "dual_softmax",
+            "dsmax_temperature": 0.1, "skh_iters": 3,
+            "skh_init_bin_score": 1.0, "skh_prefilter": True,
+            "train_coarse_percent": 0.4, "train_pad_num_gt_min": 200,
+        },
+        "fine": {
+            "d_model": 128, "d_ffn": 128, "nhead": 8,
+            "layer_names": ["self", "cross"], "attention": "linear",
+        },
+    }
+    torch.manual_seed(11)
+    model = LoFTR(cfg).eval()
+    # randomize BN running stats so the conv+BN folding is non-trivial
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.5, 1.5)
+
+    # IDENTICAL images: with random weights, a deep convnet's coarse features
+    # are chaotic in position (even a 6 px sub-cell shift fully decorrelates
+    # them — measured: 3 surviving matches), but self-similarity is real, so
+    # the identical pair yields ~70 mutual-NN matches on the i==j diagonal
+    # with genuine argmax margins that f32 accumulation noise cannot flip.
+    # Two independent noise images give a near-uniform dual softmax where
+    # almost nothing clears thr and survivors are noise-ties.
+    H, W = 120, 160
+    torch.manual_seed(3)
+    img0 = torch.rand(1, 1, H, W)
+    img1 = img0.clone()
+    data = {"image0": img0, "image1": img1}
+    with torch.no_grad():
+        model(data)
+    ref_k0 = data["mkpts0_f"].numpy()
+    ref_k1 = data["mkpts1_f"].numpy()
+    ref_conf = data["mconf"].numpy()
+    assert len(ref_k0) >= 50, f"expected many diagonal matches, got {len(ref_k0)}"
+    # sanity on the reference itself: coarse matches sit on the diagonal, so
+    # k1 deviates from k0 by at most the fine window half-extent (2 fine px
+    # * stride 2 = 4 px).  The fine offsets themselves are NOT near zero —
+    # random-weight features rank-collapse onto a shared coarse-context
+    # direction, so the soft-argmax lands anywhere in the window — but the
+    # soft-argmax is continuous in the similarities, so torch-vs-JAX parity
+    # below is still tight.
+    diag = np.abs(ref_k1 - ref_k0).max(axis=1)
+    assert diag.max() <= 4.01
+
+    params = jloftr.params_from_torch(model.state_dict())
+    j0 = jnp.asarray(img0.numpy().transpose(0, 2, 3, 1))
+    j1 = jnp.asarray(img1.numpy().transpose(0, 2, 3, 1))
+
+    # --- continuous check: rebuild the coarse confidence matrix from the
+    # converted params through the JAX backbone + coarse transformer and
+    # compare against the torch conf_matrix elementwise.  This catches any
+    # conversion drift (conv/BN folding, attention, FFN) without being
+    # subject to the discrete argmax tie-flips below.
+    ref_cm = data["conf_matrix"][0].numpy()  # (L, S)
+    fc0_map, _ = jloftr.backbone_forward(params, j0)
+    fc1_map, _ = jloftr.backbone_forward(params, j1)
+    hc, wc = fc0_map.shape[1:3]
+    pe = jloftr.sine_pos_encoding(hc, wc, jloftr.D_COARSE, False)
+    fc0 = (fc0_map + pe[None]).reshape(1, hc * wc, jloftr.D_COARSE)
+    fc1 = (fc1_map + pe[None]).reshape(1, hc * wc, jloftr.D_COARSE)
+    fc0, fc1 = jloftr.transformer(
+        fc0, fc1, params["coarse"], None, None, jloftr.NHEAD)
+    C = jloftr.D_COARSE
+    sim = np.einsum(
+        "lc,sc->ls", np.asarray(fc0[0]) / C**0.5, np.asarray(fc1[0]) / C**0.5
+    ) / 0.1
+    def _sm(x, ax):
+        e = np.exp(x - x.max(axis=ax, keepdims=True))
+        return e / e.sum(axis=ax, keepdims=True)
+    my_cm = _sm(sim, 0) * _sm(sim, 1)
+    # conf amplifies sim drift by e^(2*dsim/T): a few isolated cells with
+    # conf ~O(0.1..1) land at ~5% error from f32 accumulation-order noise
+    # (measured: 52/90000 cells above 2e-3, max 0.069).  Quantile bounds
+    # catch a systematic conversion bug (which shifts whole rows) while
+    # tolerating that tail.
+    err = np.abs(my_cm - ref_cm)
+    assert err.max() < 0.15, err.max()
+    assert (err > 2e-3).mean() < 1e-3, (err > 2e-3).mean()
+    assert np.median(err) < 1e-5
+
+    # --- discrete check: the coarse selection applies exact `conf == max`
+    # mutual-NN comparisons, and the rank-collapsed random-weight features
+    # put neighboring cells within f32 noise of each other, so a ~10% count
+    # difference from tie-flips is intrinsic (measured 82 vs 74).  Require
+    # high overlap, and tight fine-keypoint/conf parity on the overlap.
+    ref = {
+        tuple(np.round(p0).astype(int)): (p1, c)
+        for p0, p1, c in zip(ref_k0, ref_k1, ref_conf)
+    }
+    for impl in ("dense", "blocked"):
+        out = jloftr.match_pair_impl(
+            params, j0, j1, max_matches=512, threshold=1e-4,
+            coarse_impl=impl,
+        )
+        m = np.asarray(out["mask"])[0]
+        k0 = np.asarray(out["keypoints0"])[0][m]
+        k1 = np.asarray(out["keypoints1"])[0][m]
+        conf = np.asarray(out["confidence"])[0][m]
+        assert abs(len(k0) - len(ref_k0)) <= len(ref_k0) // 5, (
+            impl, len(k0), len(ref_k0))
+        n_shared = 0
+        for p0, p1, c in zip(k0, k1, conf):
+            key = tuple(np.round(p0).astype(int))
+            if key not in ref:
+                continue
+            rp1, rc = ref[key]
+            n_shared += 1
+            # subpixel tolerance: random-weight fine sims are large, so the
+            # soft-argmax acts as a near-hard mixture of deltas and f32 sim
+            # drift moves mixture weights by a fraction of a pixel (measured
+            # 0.36 px worst case); a real windowing/scale bug shifts by >= 1
+            # fine pixel (2 px) or more
+            np.testing.assert_allclose(p1, rp1, atol=1.0)
+            # conf = softmax_row(sim/T)*softmax_col(sim/T) with T=0.1
+            # amplifies sim drift by e^(2*dsim/T) (measured up to ~6% on
+            # these O(0.2) matches); the conf-matrix quantile check above is
+            # the tight parity guard, this only catches gross scale bugs
+            np.testing.assert_allclose(c, rc, rtol=0.3, atol=1e-3)
+        assert n_shared >= int(0.8 * len(ref_k0)), (impl, n_shared, len(ref_k0))
