@@ -171,9 +171,15 @@ class RomaMatcher(DetectorFreeMatcher):
         # keeping flow arithmetic f32. Opt-in: bf16 feature rounding shifts
         # the correlation heatmaps slightly.
         corr_dt = self.conf.get("corr_dtype") or None
-        warp_ab, cert_ab, warp_ba, cert_ba = roma_model.match_pair(
+        # certainty attenuation: reference roma_outdoor default
+        # (roma_models.py:165, applied at matcher.py:758-768,808-810)
+        atten = bool(self.conf.get("attenuate_cert", True))
+        out = roma_model.match_pair(
             self.params, a, b, decoder_dtype=cdt, corr_dtype=corr_dt,
+            attenuate_cert=atten and not self.upsample_preds,
+            with_cert16=atten and self.upsample_preds,
         )
+        warp_ab, cert_ab, warp_ba, cert_ba = out[:4]
         if self.upsample_preds:
             r = self.upsample_res
             a_hr = jnp.stack([self._dev_img(p0, r) for p0, _ in paths])
@@ -184,6 +190,8 @@ class RomaMatcher(DetectorFreeMatcher):
                 warp_ab, cert_ab, warp_ba, cert_ba,
                 scale_factor=scale_factor, compute_dtype=cdt,
                 corr_dtype=corr_dt,
+                cert16_ab=out[4] if atten else None,
+                cert16_ba=out[5] if atten else None,
             )
         results = []
         for i, ((HA, WA), (HB, WB)) in enumerate(sizes):

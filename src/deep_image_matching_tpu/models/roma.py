@@ -545,8 +545,13 @@ def _resize(x, hw):
 
 
 def decode(params, f1_pyr, f2_pyr, scales=SCALES, flow=None, certainty=None,
-           scale_factor=1.0, compute_dtype="float32", corr_dtype=None):
-    """Coarse-to-fine warp decoding (reference Decoder.forward)."""
+           scale_factor=1.0, compute_dtype="float32", corr_dtype=None,
+           with_cert16=False):
+    """Coarse-to-fine warp decoding (reference Decoder.forward).
+
+    ``with_cert16=True`` additionally returns the scale-16 certainty (after
+    that scale's refiner), which the reference uses for certainty
+    attenuation of the final output (matcher.py:758-768,808-810)."""
     sizes = {s: f1_pyr[s].shape[1:3] for s in f1_pyr}
     coarsest = scales[0]
     B = f1_pyr[coarsest].shape[0]
@@ -583,10 +588,14 @@ def decode(params, f1_pyr, f2_pyr, scales=SCALES, flow=None, certainty=None,
         )
         flow = flow + disp
         certainty = certainty + delta_cert
+        if s == "16":
+            cert16 = certainty
         if s != "1":
             nxt = str(ins // 2)
             flow = _resize(flow, sizes[nxt])
             certainty = _resize(certainty, sizes[nxt])
+    if with_cert16:
+        return flow, certainty, cert16
     return flow, certainty
 
 
@@ -607,16 +616,32 @@ def build_pyramid(params, images, use_dino=True, compute_dtype="bfloat16"):
     return pyr
 
 
+def _attenuate(cert, cert16):
+    """Reference certainty attenuation (matcher.py:758-768,808-810):
+    interpolate the scale-16 certainty to the output resolution, keep only
+    its negative part scaled by 0.5, and subtract from the final logits."""
+    low = _resize(cert16, cert.shape[1:3])
+    return cert - 0.5 * low * (low < 0.0)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "decoder_dtype", "corr_dtype")
+    jax.jit,
+    static_argnames=(
+        "compute_dtype", "decoder_dtype", "corr_dtype",
+        "attenuate_cert", "with_cert16",
+    ),
 )
 def match_pair_impl(params, imA, imB, compute_dtype="bfloat16",
-                    decoder_dtype="float32", corr_dtype=None):
+                    decoder_dtype="float32", corr_dtype=None,
+                    attenuate_cert=False, with_cert16=False):
     """Symmetric dense matching at the model resolution.
 
     imA/imB (B, H, W, 3) with H, W multiples of 56 (14 and 8 divisible).
     Returns (warpAB, certA, warpBA, certB) at scale-1 resolution with
-    normalized coordinates."""
+    normalized coordinates. ``with_cert16=True`` appends the scale-16
+    certainties (certA16, certB16) for a following upsample pass to
+    attenuate with; ``attenuate_cert=True`` applies the attenuation here
+    (the no-upsample configuration)."""
     B = imA.shape[0]
     if imA.dtype == jnp.uint8:
         imA = imA.astype(jnp.float32) / 255.0
@@ -626,9 +651,15 @@ def match_pair_impl(params, imA, imB, compute_dtype="bfloat16",
     pyr = build_pyramid(params, both, compute_dtype=compute_dtype)
     f_q = pyr
     f_s = {s: jnp.concatenate([v[B:], v[:B]], axis=0) for s, v in pyr.items()}
-    flow, cert = decode(
-        params, f_q, f_s, compute_dtype=decoder_dtype, corr_dtype=corr_dtype
+    flow, cert, cert16 = decode(
+        params, f_q, f_s, compute_dtype=decoder_dtype, corr_dtype=corr_dtype,
+        with_cert16=True,
     )
+    if attenuate_cert and not with_cert16:
+        cert = _attenuate(cert, cert16)
+    if with_cert16:
+        return (flow[:B], cert[:B], flow[B:], cert[B:],
+                cert16[:B], cert16[B:])
     return flow[:B], cert[:B], flow[B:], cert[B:]
 
 
@@ -641,12 +672,15 @@ match_pair = match_pair_impl
 def match_pair_upsample(
     params, imA_hr, imB_hr, flow_ab, cert_ab, flow_ba, cert_ba,
     scale_factor: float = 1.0, compute_dtype: str = "float32",
-    corr_dtype=None,
+    corr_dtype=None, cert16_ab=None, cert16_ba=None,
 ):
     """Second refinement pass at the upsample resolution (reference
     ``RegressionMatcher.match`` upsample_preds path): VGG-only pyramid
     (scales 8..1), decoding seeded by the coarse-pass warp/certainty.
-    imA_hr/imB_hr: (B, H', W', 3) with H', W' multiples of 8."""
+    imA_hr/imB_hr: (B, H', W', 3) with H', W' multiples of 8.
+    ``cert16_ab/ba``: coarse-pass scale-16 certainties; when given, the
+    reference's certainty attenuation subtracts their interpolated negative
+    part from the final logits (matcher.py:758-768,808-810)."""
     B = imA_hr.shape[0]
     if imA_hr.dtype == jnp.uint8:
         imA_hr = imA_hr.astype(jnp.float32) / 255.0
@@ -663,6 +697,9 @@ def match_pair_upsample(
         flow=flow, certainty=cert, scale_factor=scale_factor,
         compute_dtype=compute_dtype, corr_dtype=corr_dtype,
     )
+    if cert16_ab is not None:
+        cert16 = jnp.concatenate([cert16_ab, cert16_ba], axis=0)
+        cert = _attenuate(cert, cert16)
     return flow[:B], cert[:B], flow[B:], cert[B:]
 
 

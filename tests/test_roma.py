@@ -210,3 +210,62 @@ def test_local_correlation_impls_parity(impl):
         )
     )
     np.testing.assert_allclose(got, ref[0].transpose(1, 2, 0), atol=1e-4)
+
+
+def test_certainty_attenuation_parity():
+    """_attenuate == the reference formula (matcher.py:758-768,808-810):
+    bilinear-interpolate the scale-16 certainty to the output size
+    (align_corners=False), keep 0.5x its negative part, subtract."""
+    import torch.nn.functional as F
+
+    from deep_image_matching_tpu.models.roma import _attenuate
+
+    rng = np.random.default_rng(11)
+    cert = rng.normal(size=(2, 64, 64, 1)).astype(np.float32)
+    cert16 = rng.normal(size=(2, 9, 9, 1)).astype(np.float32)
+
+    low = F.interpolate(
+        torch.from_numpy(cert16).permute(0, 3, 1, 2), size=(64, 64),
+        align_corners=False, mode="bilinear",
+    )
+    low = 0.5 * low * (low < 0)
+    ref = torch.from_numpy(cert).permute(0, 3, 1, 2) - low
+
+    got = np.asarray(_attenuate(jnp.asarray(cert), jnp.asarray(cert16)))
+    np.testing.assert_allclose(
+        got, ref.permute(0, 2, 3, 1).numpy(), atol=1e-5
+    )
+
+
+def test_match_pair_attenuation_and_cert16():
+    """attenuate_cert changes only the certainty (never the flow) and the
+    with_cert16 outputs feed match_pair_upsample without shape errors."""
+    from deep_image_matching_tpu.models import roma as rm
+
+    params = rm.init_params(jax.random.PRNGKey(0), dinov2_depth=1)
+    rng = np.random.default_rng(5)
+    im = jnp.asarray(rng.random((1, 112, 112, 3)).astype(np.float32))
+
+    base = rm.match_pair(params, im, im, compute_dtype="float32")
+    att = rm.match_pair(
+        params, im, im, compute_dtype="float32", attenuate_cert=True
+    )
+    np.testing.assert_allclose(np.asarray(att[0]), np.asarray(base[0]))
+    six = rm.match_pair(
+        params, im, im, compute_dtype="float32", with_cert16=True
+    )
+    assert len(six) == 6
+    assert six[4].shape == (1, 8, 8, 1)  # 112/14 (DINOv2 patch grid)
+    # with_cert16 leaves the main outputs unattenuated
+    np.testing.assert_allclose(np.asarray(six[1]), np.asarray(base[1]))
+    out = rm.match_pair_upsample(
+        params, im, im, six[0], six[1], six[2], six[3],
+        scale_factor=1.0, cert16_ab=six[4], cert16_ba=six[5],
+    )
+    plain = rm.match_pair_upsample(
+        params, im, im, six[0], six[1], six[2], six[3], scale_factor=1.0,
+    )
+    # attenuation strictly increases certainty where cert16 < 0, else equal
+    diff = np.asarray(out[1]) - np.asarray(plain[1])
+    assert (diff >= -1e-6).all()
+    assert diff.max() > 0
