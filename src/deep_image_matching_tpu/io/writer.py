@@ -12,11 +12,65 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+from pathlib import Path
 from typing import Optional
+
+import h5py
+import numpy as np
 
 from .h5 import save_features
 
 logger = logging.getLogger("dim_tpu")
+
+
+class MatchWriter:
+    """Persistent-handle writer for ``raw_matches.h5`` + ``matches.h5``.
+
+    ``save_matches`` opens and closes the file per call; a match stage does
+    two such calls per pair, so at hundreds of pairs per second the h5
+    open/close cycles dominate the host loop. This writer keeps both files
+    open for the duration of a match stage (single-threaded: h5py is
+    single-writer). The per-pair dataset semantics are identical to
+    ``save_matches`` (group per first image, overwrite-on-rewrite)."""
+
+    def __init__(self, matches_path):
+        self.matches_path = Path(matches_path)
+        self.raw_path = self.matches_path.parent / "raw_matches.h5"
+        self._files = {}
+
+    def _fd(self, path) -> "h5py.File":
+        key = str(path)
+        fd = self._files.get(key)
+        if fd is None:
+            fd = h5py.File(key, "a", libver="latest")
+            self._files[key] = fd
+        return fd
+
+    @staticmethod
+    def _write(fd, name0: str, name1: str, matches) -> None:
+        matches = np.asarray(matches, dtype=np.int32).reshape(-1, 2)
+        grp = fd.require_group(name0)
+        if name1 in grp:
+            del grp[name1]
+        grp.create_dataset(name1, data=matches)
+
+    def save_raw(self, name0: str, name1: str, matches) -> None:
+        self._write(self._fd(self.raw_path), name0, name1, matches)
+
+    def save_verified(self, name0: str, name1: str, matches) -> None:
+        self._write(self._fd(self.matches_path), name0, name1, matches)
+
+    def close(self) -> None:
+        for fd in self._files.values():
+            fd.close()
+        self._files.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 class AsyncFeatureWriter:

@@ -83,4 +83,4 @@ class AdalamMatcher(BatchedMatcher):
             jnp.asarray(batch0["keypoints"]), jnp.asarray(batch1["keypoints"]),
             matches0, valid,
         )
-        return np.asarray(matches0), np.asarray(keep)
+        return matches0, keep  # lazy; caller materializes

@@ -36,7 +36,7 @@ class NNMatcher(BatchedMatcher):
             mode=str(self.conf["match_mode"]),
             ratio_th=float(self.conf["th"]),
         )
-        return np.asarray(matches0), np.asarray(valid)
+        return matches0, valid  # lazy; caller materializes
 
     def _match_pairs(self, feats0: dict, feats1: dict) -> np.ndarray:
         """Single-pair fallback (parity path): pad to capacity and run the

@@ -80,4 +80,4 @@ class LighterGlueMatcher(BatchedMatcher):
             attn_impl=lg.default_attn_impl(),
             assignment_impl=lg.default_assignment_impl(),
         )
-        return np.asarray(out["matches0"]), np.asarray(out["valid0"])
+        return out["matches0"], out["valid0"]  # lazy; caller materializes

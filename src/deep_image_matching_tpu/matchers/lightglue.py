@@ -62,9 +62,9 @@ class LightGlueMatcher(BatchedMatcher):
             ),
             ffn_impl=self.tpu.get("ffn_impl", "auto"),
         )
-        matches0 = np.asarray(out["matches0"])
-        valid = np.asarray(out["valid0"])
-        return matches0, valid
+        # returned lazily (jax arrays): the caller overlaps host work with
+        # the async device execution and materializes at finish time
+        return out["matches0"], out["valid0"]
 
     def _match_pairs(self, feats0: dict, feats1: dict) -> np.ndarray:
         runner = LightGlueRunner(

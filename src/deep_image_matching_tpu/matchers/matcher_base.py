@@ -27,6 +27,7 @@ import numpy as np
 
 from ..constants import KPT_PAD_MULTIPLE, Quality
 from ..io.h5 import get_features, list_h5_names, save_matches
+from ..io.writer import MatchWriter
 from ..utils.geometric_verification import geometric_verification
 from ..constants import GeometricVerification
 
@@ -64,6 +65,8 @@ class MatcherBase:
             general.get("min_inlier_ratio_per_pair", 0.15)
         )
         self.tpu = dict(general.get("tpu", {}))
+        # persistent-handle h5 writer, set for the duration of match_all
+        self._writer: Optional[MatchWriter] = None
 
     # ------------------------------------------------------------------ API
     def match(
@@ -92,13 +95,18 @@ class MatcherBase:
     ) -> Dict[Tuple[str, str], int]:
         """Match a pair list; base implementation loops (host matchers)."""
         results: Dict[Tuple[str, str], int] = {}
-        for img0, img1 in pairs:
+        with MatchWriter(matches_path) as writer:
+            self._writer = writer
             try:
-                m = self.match(feature_path, matches_path, img0, img1)
-                results[(img0, img1)] = 0 if m is None else len(m)
-            except Exception as e:  # keep going (reference behavior)
-                logger.warning(f"Matching {img0}-{img1} failed: {e}")
-                results[(img0, img1)] = 0
+                for img0, img1 in pairs:
+                    try:
+                        m = self.match(feature_path, matches_path, img0, img1)
+                        results[(img0, img1)] = 0 if m is None else len(m)
+                    except Exception as e:  # keep going (reference behavior)
+                        logger.warning(f"Matching {img0}-{img1} failed: {e}")
+                        results[(img0, img1)] = 0
+            finally:
+                self._writer = None
         return results
 
     # -------------------------------------------------------------- template
@@ -107,10 +115,18 @@ class MatcherBase:
         raise NotImplementedError
 
     # ------------------------------------------------------------- internals
-    @staticmethod
-    def _save_raw(matches_path: Path, img0: str, img1: str, matches: np.ndarray):
+    def _save_raw(self, matches_path: Path, img0: str, img1: str, matches: np.ndarray):
+        if self._writer is not None:
+            self._writer.save_raw(img0, img1, matches)
+            return
         raw_path = Path(matches_path).parent / "raw_matches.h5"
         save_matches(raw_path, img0, img1, matches)
+
+    def _save_verified(self, matches_path: Path, img0: str, img1: str, matches: np.ndarray):
+        if self._writer is not None:
+            self._writer.save_verified(img0, img1, matches)
+            return
+        save_matches(matches_path, img0, img1, matches)
 
     def _verify_and_save(
         self,
@@ -146,7 +162,7 @@ class MatcherBase:
         if ratio < self.min_inlier_ratio_per_pair:
             logger.debug(f"Inlier ratio too small ({ratio:.2%}) for {img0}-{img1}")
             return None
-        save_matches(matches_path, img0, img1, verified)
+        self._save_verified(matches_path, img0, img1, verified)
         return verified
 
 
@@ -176,12 +192,62 @@ class BatchedMatcher(MatcherBase):
             or self.tpu.get("force_device_ransac", False)
         )
         results: Dict[Tuple[str, str], int] = {}
-        for start in range(0, len(pairs), bsz):
-            chunk = pairs[start : start + bsz]
+        # software pipelining: JAX dispatch is async, so issue chunk N+1's
+        # device program before materializing + verifying + writing chunk N
+        # — host GV (USAC) and h5 writes then overlap device compute instead
+        # of serializing after it (the reference's per-pair loop
+        # ``image_matching.py:467-487`` serializes all three).
+        with MatchWriter(matches_path) as writer:
+            self._writer = writer
+            try:
+                pending = None  # (chunk, dispatched device arrays)
+                for start in range(0, len(pairs), bsz):
+                    chunk = pairs[start : start + bsz]
+                    try:
+                        disp = self._dispatch_chunk(chunk, store)
+                    except Exception as e:
+                        logger.warning(
+                            f"Dispatch of batch {len(chunk)} failed "
+                            f"({type(e).__name__}: {e}); running synchronously"
+                        )
+                        disp = None
+                    if pending is not None:
+                        self._finish_chunk_resilient(
+                            *pending, store, matches_path, use_device_gv, results
+                        )
+                        pending = None
+                    if disp is None:
+                        self._match_chunk_resilient(
+                            chunk, store, matches_path, use_device_gv, results
+                        )
+                    else:
+                        pending = (chunk, disp)
+                if pending is not None:
+                    self._finish_chunk_resilient(
+                        *pending, store, matches_path, use_device_gv, results
+                    )
+            finally:
+                self._writer = None
+        return results
+
+    def _finish_chunk_resilient(
+        self, chunk, disp, store, matches_path, use_device_gv, results
+    ):
+        """Materialize + verify + write a dispatched chunk; on failure
+        (async device errors surface here) fall back to the synchronous
+        bisecting path — rewrites are idempotent (overwrite-on-rewrite)."""
+        try:
+            self._finish_chunk(
+                chunk, disp, store, matches_path, use_device_gv, results
+            )
+        except Exception as e:
+            logger.warning(
+                f"Finishing batch of {len(chunk)} failed "
+                f"({type(e).__name__}: {e}); retrying synchronously"
+            )
             self._match_chunk_resilient(
                 chunk, store, matches_path, use_device_gv, results
             )
-        return results
 
     def _match_chunk_resilient(
         self, chunk, store, matches_path, use_device_gv, results
@@ -212,12 +278,19 @@ class BatchedMatcher(MatcherBase):
                 results[tuple(chunk[0])] = 0
 
     def _match_chunk(self, chunk, store, matches_path, use_device_gv, results):
+        disp = self._dispatch_chunk(chunk, store)
+        self._finish_chunk(
+            chunk, disp, store, matches_path, use_device_gv, results
+        )
+
+    def _dispatch_chunk(self, chunk, store):
+        """Issue the device matching program for a chunk; returns the (still
+        lazy) device arrays so the caller can overlap host work with device
+        compute before materializing them in ``_finish_chunk``."""
         import jax
-        import jax.numpy as jnp
 
         from ..parallel.mesh import get_default_mesh
 
-        B = len(chunk)
         idx0 = [store.index[a] for a, _ in chunk]
         idx1 = [store.index[b] for _, b in chunk]
         # data-parallel over the device mesh: pad to a divisible batch and
@@ -252,6 +325,16 @@ class BatchedMatcher(MatcherBase):
             in0 = store.gather(idx0)
             in1 = store.gather(idx1)
         matches0, valid = self._match_batch_arrays(in0, in1)
+        return idx0, idx1, matches0, valid
+
+    def _finish_chunk(
+        self, chunk, disp, store, matches_path, use_device_gv, results
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        idx0, idx1, matches0, valid = disp
+        B = len(chunk)
         matches0 = np.asarray(matches0)[:B]
         valid = np.asarray(valid)[:B]
 
@@ -365,23 +448,23 @@ class BatchedMatcher(MatcherBase):
 
         bsz = int(self.tpu.get("match_batch_size", 32))
         per_pair: Dict[int, list] = {i: [] for i in range(len(pairs))}
-        for start in range(0, len(jobs), bsz):
-            chunk = jobs[start : start + bsz]
-            batch0 = store.gather([j[1] for j in chunk])
-            batch1 = store.gather([j[2] for j in chunk])
+
+        def dispatch(chunk):
+            batch0 = dict(store.gather([j[1] for j in chunk]))
+            batch1 = dict(store.gather([j[2] for j in chunk]))
             t0s = np.array([j[3] for j in chunk], np.float32)
             t1s = np.array([j[4] for j in chunk], np.float32)
-            batch0 = dict(batch0)
-            batch1 = dict(batch1)
             batch0["mask"] = batch0["mask"] & (
                 store.tile_idx[[j[1] for j in chunk]] == t0s[:, None]
             )
             batch1["mask"] = batch1["mask"] & (
                 store.tile_idx[[j[2] for j in chunk]] == t1s[:, None]
             )
-            matches0, valid = self._match_batch_arrays(batch0, batch1)
-            matches0 = np.asarray(matches0)
-            valid = np.asarray(valid)
+            return self._match_batch_arrays(batch0, batch1)
+
+        def finish(chunk, disp):
+            matches0 = np.asarray(disp[0])
+            valid = np.asarray(disp[1])
             for b, (p_idx, i0, i1, _t0, _t1) in enumerate(chunk):
                 sel = valid[b]
                 rows = np.nonzero(sel)[0]
@@ -390,26 +473,43 @@ class BatchedMatcher(MatcherBase):
                         np.stack([rows, matches0[b][rows]], axis=1)
                     )
 
+        # one-chunk-deep pipeline: the next chunk's device program is in
+        # flight while the previous chunk's results are post-processed
+        pending = None
+        for start in range(0, len(jobs), bsz):
+            chunk = jobs[start : start + bsz]
+            disp = dispatch(chunk)
+            if pending is not None:
+                finish(*pending)
+            pending = (chunk, disp)
+        if pending is not None:
+            finish(*pending)
+
         results: Dict[Tuple[str, str], int] = {}
-        for p_idx, (name0, name1) in enumerate(pairs):
-            chunks = per_pair[p_idx]
-            if chunks:
-                m = np.concatenate(chunks, axis=0).astype(np.int32)
-                # dedup: one match per query keypoint (keep first)
-                _, first = np.unique(m[:, 0], return_index=True)
-                m = m[np.sort(first)]
-                n0 = store.counts[store.index[name0]]
-                n1 = store.counts[store.index[name1]]
-                m = m[(m[:, 0] < n0) & (m[:, 1] < n1)]
-            else:
-                m = np.zeros((0, 2), np.int32)
-            self._save_raw(matches_path, name0, name1, m)
-            verified = self._verify_and_save(
-                matches_path, name0, name1, m,
-                store.keypoints_of(store.index[name0]),
-                store.keypoints_of(store.index[name1]),
-            )
-            results[(name0, name1)] = 0 if verified is None else len(verified)
+        with MatchWriter(matches_path) as writer:
+            self._writer = writer
+            try:
+                for p_idx, (name0, name1) in enumerate(pairs):
+                    chunks = per_pair[p_idx]
+                    if chunks:
+                        m = np.concatenate(chunks, axis=0).astype(np.int32)
+                        # dedup: one match per query keypoint (keep first)
+                        _, first = np.unique(m[:, 0], return_index=True)
+                        m = m[np.sort(first)]
+                        n0 = store.counts[store.index[name0]]
+                        n1 = store.counts[store.index[name1]]
+                        m = m[(m[:, 0] < n0) & (m[:, 1] < n1)]
+                    else:
+                        m = np.zeros((0, 2), np.int32)
+                    self._save_raw(matches_path, name0, name1, m)
+                    verified = self._verify_and_save(
+                        matches_path, name0, name1, m,
+                        store.keypoints_of(store.index[name0]),
+                        store.keypoints_of(store.index[name1]),
+                    )
+                    results[(name0, name1)] = 0 if verified is None else len(verified)
+            finally:
+                self._writer = None
         return results
 
 
@@ -516,44 +616,53 @@ class DetectorFreeMatcher(MatcherBase):
         # the (B, HW, HW-free) working set loses HBM locality), so the chunk
         # defaults to 1; raise matcher conf 'pair_batch_size' to batch.
         bsz = int(self.conf.get("pair_batch_size", 1))
-        for start in range(0, len(pairs), bsz):
-            chunk = pairs[start : start + bsz]
-            paths = [
-                (Path(image_dir) / a, Path(image_dir) / b) for a, b in chunk
-            ]
+        with MatchWriter(matches_path) as writer:
+            self._writer = writer
             try:
-                matched = self._match_images_batch(paths)
-            except Exception as e:
-                logger.warning(
-                    f"Batched detector-free matching failed "
-                    f"({type(e).__name__}: {e}); falling back per pair"
-                )
-                matched = []
-                for p0, p1 in paths:
+                for start in range(0, len(pairs), bsz):
+                    chunk = pairs[start : start + bsz]
+                    paths = [
+                        (Path(image_dir) / a, Path(image_dir) / b) for a, b in chunk
+                    ]
                     try:
-                        matched.append(self._match_images(p0, p1))
-                    except Exception as e2:
-                        logger.warning(f"Matching {p0.name}-{p1.name} failed: {e2}")
-                        matched.append(None)
-            for (img0, img1), km in zip(chunk, matched):
-                if km is None:
-                    results[(img0, img1)] = 0
-                    continue
-                try:
-                    kpts0, kpts1 = km
-                    matches = self._append_features(
-                        feature_path, img0, img1, kpts0, kpts1
-                    )
-                    self._save_raw(matches_path, img0, img1, matches)
-                    verified = self._verify_and_save_coords(
-                        matches_path, img0, img1, matches, kpts0, kpts1
-                    )
-                    results[(img0, img1)] = 0 if verified is None else len(verified)
-                except Exception as e:
-                    logger.warning(
-                        f"Detector-free matching {img0}-{img1} failed: {e}"
-                    )
-                    results[(img0, img1)] = 0
+                        matched = self._match_images_batch(paths)
+                    except Exception as e:
+                        logger.warning(
+                            f"Batched detector-free matching failed "
+                            f"({type(e).__name__}: {e}); falling back per pair"
+                        )
+                        matched = []
+                        for p0, p1 in paths:
+                            try:
+                                matched.append(self._match_images(p0, p1))
+                            except Exception as e2:
+                                logger.warning(
+                                    f"Matching {p0.name}-{p1.name} failed: {e2}"
+                                )
+                                matched.append(None)
+                    for (img0, img1), km in zip(chunk, matched):
+                        if km is None:
+                            results[(img0, img1)] = 0
+                            continue
+                        try:
+                            kpts0, kpts1 = km
+                            matches = self._append_features(
+                                feature_path, img0, img1, kpts0, kpts1
+                            )
+                            self._save_raw(matches_path, img0, img1, matches)
+                            verified = self._verify_and_save_coords(
+                                matches_path, img0, img1, matches, kpts0, kpts1
+                            )
+                            results[(img0, img1)] = (
+                                0 if verified is None else len(verified)
+                            )
+                        except Exception as e:
+                            logger.warning(
+                                f"Detector-free matching {img0}-{img1} failed: {e}"
+                            )
+                            results[(img0, img1)] = 0
+            finally:
+                self._writer = None
         return results
 
     def _match_images(self, path0, path1):
@@ -608,7 +717,7 @@ class DetectorFreeMatcher(MatcherBase):
         if ratio < self.min_inlier_ratio_per_pair:
             return None
         verified = matches[np.asarray(inlier_mask, bool)]
-        save_matches(matches_path, img0, img1, verified)
+        self._save_verified(matches_path, img0, img1, verified)
         return verified
 
 

@@ -76,4 +76,4 @@ class SuperGlueMatcher(BatchedMatcher):
             compute_dtype=str(self.tpu.get("dtype", "bfloat16")),
             attn_impl="flash" if jax.default_backend() != "cpu" else "xla",
         )
-        return np.asarray(out["matches0"]), np.asarray(out["valid0"])
+        return out["matches0"], out["valid0"]  # lazy; caller materializes

@@ -83,7 +83,7 @@ def test_match_batch_oom_fallback(project_dir, monkeypatch):
     fallback semantics)."""
     from deep_image_matching_tpu.matchers.kornia_matcher import NNMatcher
 
-    orig = NNMatcher._match_chunk
+    orig = NNMatcher._dispatch_chunk
     calls = {"n": 0}
 
     def flaky(self, chunk, *a, **kw):
@@ -92,12 +92,53 @@ def test_match_batch_oom_fallback(project_dir, monkeypatch):
             raise RuntimeError("RESOURCE_EXHAUSTED: simulated OOM")
         return orig(self, chunk, *a, **kw)
 
-    monkeypatch.setattr(NNMatcher, "_match_chunk", flaky)
+    monkeypatch.setattr(NNMatcher, "_dispatch_chunk", flaky)
     cfg, feature_path, match_path = _run(project_dir)
     from deep_image_matching_tpu.io.h5 import list_pairs
 
     assert calls["n"] > 1  # split actually happened
     assert len(list_pairs(match_path)) >= 1  # pipeline still produced matches
+
+
+def test_match_finish_failure_retries_sync(project_dir, monkeypatch):
+    """An async device error surfacing at materialization time (pipelined
+    finish) falls back to the synchronous bisecting path and still produces
+    matches."""
+    from deep_image_matching_tpu.matchers.kornia_matcher import NNMatcher
+
+    orig = NNMatcher._finish_chunk
+    calls = {"n": 0}
+
+    def flaky(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated async device error")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(NNMatcher, "_finish_chunk", flaky)
+    cfg, feature_path, match_path = _run(project_dir)
+    from deep_image_matching_tpu.io.h5 import list_pairs
+
+    assert calls["n"] > 1  # sync retry actually ran
+    assert len(list_pairs(match_path)) >= 1
+
+
+def test_match_writer_roundtrip(tmp_path):
+    """MatchWriter writes are identical to save_matches semantics (group per
+    first image, overwrite-on-rewrite) and readable after close."""
+    from deep_image_matching_tpu.io.writer import MatchWriter
+
+    mp = tmp_path / "matches.h5"
+    m = np.array([[0, 1], [2, 3]], np.int32)
+    m2 = np.array([[5, 6]], np.int32)
+    with MatchWriter(mp) as w:
+        w.save_raw("a.jpg", "b.jpg", m)
+        w.save_verified("a.jpg", "b.jpg", m)
+        w.save_verified("a.jpg", "b.jpg", m2)  # overwrite
+    got = get_matches(mp, "a.jpg", "b.jpg")
+    np.testing.assert_array_equal(got, m2)
+    raw = get_matches(tmp_path / "raw_matches.h5", "a.jpg", "b.jpg")
+    np.testing.assert_array_equal(raw, m)
 
 
 def test_sift_pipeline_sequential(project_dir):
