@@ -67,6 +67,8 @@ class MatcherBase:
         self.tpu = dict(general.get("tpu", {}))
         # persistent-handle h5 writer, set for the duration of match_all
         self._writer: Optional[MatchWriter] = None
+        # persistent features.h5 handle (detector-free appends)
+        self._feature_fd = None
 
     # ------------------------------------------------------------------ API
     def match(
@@ -615,9 +617,14 @@ class DetectorFreeMatcher(MatcherBase):
         # matchers on v5e (LoFTR 640x480: 58.7 pairs/s at B=1 vs 33 at B>=4 -
         # the (B, HW, HW-free) working set loses HBM locality), so the chunk
         # defaults to 1; raise matcher conf 'pair_batch_size' to batch.
+        import h5py
+
         bsz = int(self.conf.get("pair_batch_size", 1))
-        with MatchWriter(matches_path) as writer:
+        with MatchWriter(matches_path) as writer, h5py.File(
+            str(feature_path), "a", libver="latest"
+        ) as feature_fd:
             self._writer = writer
+            self._feature_fd = feature_fd
             try:
                 for start in range(0, len(pairs), bsz):
                     chunk = pairs[start : start + bsz]
@@ -663,6 +670,7 @@ class DetectorFreeMatcher(MatcherBase):
                             results[(img0, img1)] = 0
             finally:
                 self._writer = None
+                self._feature_fd = None
         return results
 
     def _match_images(self, path0, path1):
@@ -678,25 +686,50 @@ class DetectorFreeMatcher(MatcherBase):
 
     def _append_features(self, feature_path, img0, img1, kpts0, kpts1):
         """Append per-pair keypoints to each image's feature group with
-        index offsetting; returns the (M, 2) match index array."""
+        index offsetting; returns the (M, 2) match index array.
+
+        During ``match_all`` the file handle stays open and datasets are
+        chunked + resizable, so each append is an in-place resize instead of
+        a per-pair open / read-all / delete / rewrite cycle (which is
+        O(total_kpts) per pair). Per-pair durability semantics (resume seam)
+        are unchanged."""
         import h5py
 
-        m = len(kpts0)
-        matches = np.zeros((m, 2), np.int32)
-        with h5py.File(str(feature_path), "a", libver="latest") as fd:
+        fd = self._feature_fd
+        owns = fd is None
+        if owns:
+            fd = h5py.File(str(feature_path), "a", libver="latest")
+        try:
+            m = len(kpts0)
+            matches = np.zeros((m, 2), np.int32)
             for col, (name, kpts) in enumerate(((img0, kpts0), (img1, kpts1))):
                 grp = fd.require_group(name)
+                kpts = np.asarray(kpts, np.float32).reshape(-1, 2)
                 if "keypoints" in grp:
-                    old = np.asarray(grp["keypoints"])
-                    offset = len(old)
-                    new = np.concatenate([old, kpts.astype(np.float32)], axis=0)
-                    del grp["keypoints"]
+                    ds = grp["keypoints"]
+                    offset = ds.shape[0]
+                    if ds.maxshape[0] is None:  # resizable: append in place
+                        ds.resize(offset + m, axis=0)
+                        ds[offset:] = kpts
+                    else:  # legacy fixed dataset: rewrite once as resizable
+                        old = np.asarray(ds)
+                        del grp["keypoints"]
+                        grp.create_dataset(
+                            "keypoints",
+                            data=np.concatenate([old, kpts], axis=0),
+                            maxshape=(None, 2), chunks=(4096, 2),
+                        )
                 else:
                     offset = 0
-                    new = kpts.astype(np.float32)
-                grp.create_dataset("keypoints", data=new)
+                    grp.create_dataset(
+                        "keypoints", data=kpts,
+                        maxshape=(None, 2), chunks=(4096, 2),
+                    )
                 matches[:, col] = np.arange(m) + offset
-        return matches
+            return matches
+        finally:
+            if owns:
+                fd.close()
 
     def _verify_and_save_coords(
         self, matches_path, img0, img1, matches, kpts0, kpts1
