@@ -3,9 +3,11 @@
 Parity: reference ``matchers/lightglue.py:77-125`` config surface
 (n_layers, depth_confidence, width_confidence, filter_threshold, flash, mp).
 The per-pair torch forward becomes one jitted program per pair batch
-(``models/lightglue.py``); ``depth_confidence``/``width_confidence`` are
-accepted for config compatibility — adaptive depth maps to compiled shallow
-variants, width pruning is a no-op on TPU (see model docstring).
+(``models/lightglue.py``); ``depth_confidence`` drives the model's
+batch-level adaptive-depth early exit (a ``lax.while_loop`` that stops once
+every pair in the batch is token-confident — reference
+``lightglue.py:593-604`` semantics, batched conservatively);
+``width_confidence`` (point pruning) is a no-op on TPU (see model docstring).
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ class LightGlueMatcher(BatchedMatcher):
         super().__init__(config)
         self.n_layers = int(self.conf.get("n_layers", 9))
         self.filter_threshold = float(self.conf.get("filter_threshold", 0.1))
+        self.depth_confidence = float(self.conf.get("depth_confidence", -1))
         self.params = load_default_params(
             str(self.conf.get("features", "superpoint")), self.n_layers
         )
@@ -55,6 +58,7 @@ class LightGlueMatcher(BatchedMatcher):
             jnp.asarray(batch0["image_size"], dtype=jnp.float32),
             jnp.asarray(batch1["image_size"], dtype=jnp.float32),
             filter_threshold=self.filter_threshold,
+            depth_confidence=self.depth_confidence,
             compute_dtype=str(self.tpu.get("dtype", "bfloat16")),
             attn_impl=self.tpu.get("attn_impl", default_attn_impl()),
             assignment_impl=self.tpu.get(

@@ -364,6 +364,7 @@ def forward_impl(
     num_heads: int = 4,
     filter_threshold: float = 0.1,
     depth: Optional[int] = None,
+    depth_confidence: float = -1.0,
     compute_dtype: str = "float32",
     attn_impl: str = "xla",
     assignment_impl: str = "dense",
@@ -371,7 +372,16 @@ def forward_impl(
     layout: str = "split",
 ) -> Dict[str, jnp.ndarray]:
     """Batched LightGlue matching. ``depth`` truncates the scan (compiled
-    shallow variants replace per-pair early exit). ``compute_dtype``
+    shallow variants replace per-pair early exit). ``depth_confidence > 0``
+    enables the reference's adaptive-depth early exit
+    (``lightglue.py:497-499,593-604``) at batch granularity: after each layer
+    the TokenConfidence heads score both point sets and the layer loop — a
+    ``lax.while_loop`` — stops once EVERY pair in the batch has a confident
+    ratio above the threshold; the assignment then uses the exited layer's
+    head, exactly as the reference does per pair. Batch-level exit is the
+    conservative batched reading of the per-pair rule (a batch runs as deep
+    as its hardest pair), so match quality is never below the reference's.
+    ``compute_dtype``
     'bfloat16' runs the transformer in bf16 with f32 accumulation/softmax —
     the MXU-native mode on TPU; assignment scores stay f32.
 
@@ -448,6 +458,64 @@ def forward_impl(
 
         X, _ = jax.lax.scan(body, X, layers)
         desc0, desc1 = X[:B], X[B:]
+        last = jax.tree.map(lambda x: x[-1], layers)
+        layers_run = jnp.asarray(n_layers, jnp.int32)
+    elif depth_confidence is not None and depth_confidence > 0:
+        # Adaptive depth (reference lightglue.py:593-604): sigmoid token
+        # confidences vs the layer-indexed threshold
+        # clip(0.8 + 0.1 * exp(-4 i / n), 0, 1); stop when the confident
+        # ratio over valid points of BOTH images exceeds depth_confidence
+        # for every pair in the batch.
+        n_pts = (jnp.sum(mask0, 1) + jnp.sum(mask1, 1)).astype(jnp.float32)
+
+        def _confident_ratio(d0, d1, token_p, i):
+            th = jnp.clip(
+                0.8 + 0.1 * jnp.exp(-4.0 * i.astype(jnp.float32) / n_layers),
+                0.0, 1.0,
+            )
+            c0 = jax.nn.sigmoid(
+                _linear(d0, token_p)[..., 0].astype(jnp.float32))
+            c1 = jax.nn.sigmoid(
+                _linear(d1, token_p)[..., 0].astype(jnp.float32))
+            n_conf = (
+                jnp.sum((c0 >= th) & mask0, 1) + jnp.sum((c1 >= th) & mask1, 1)
+            ).astype(jnp.float32)
+            return n_conf / jnp.maximum(n_pts, 1.0)
+
+        def cond(carry):
+            i, _, _, stop = carry
+            return (i < n_layers) & ~stop
+
+        def body(carry):
+            i, d0, d1, _ = carry
+            layer = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+                layers,
+            )
+            d0 = _self_block(d0, enc0, mask0, layer["self"], num_heads,
+                             attn_impl, ffn_impl)
+            d1 = _self_block(d1, enc1, mask1, layer["self"], num_heads,
+                             attn_impl, ffn_impl)
+            d0, d1 = _cross_block(
+                d0, d1, mask0, mask1, layer["cross"], num_heads, attn_impl,
+                ffn_impl
+            )
+            # the last layer has no (real) confidence head — loop bound exits
+            ratio = _confident_ratio(d0, d1, layer["token"], i)
+            stop = (i < n_layers - 1) & jnp.all(ratio > depth_confidence)
+            return (i + 1, d0, d1, stop)
+
+        layers_run, desc0, desc1, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), desc0, desc1, jnp.asarray(False)),
+        )
+        # assignment head of the layer we exited at (reference :541 uses
+        # log_assignment[i] of the break layer)
+        last = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(
+                x, layers_run - 1, 0, keepdims=False),
+            layers,
+        )
     else:
         def body(carry, layer):
             d0, d1 = carry
@@ -462,8 +530,9 @@ def forward_impl(
             return (d0, d1), None
 
         (desc0, desc1), _ = jax.lax.scan(body, (desc0, desc1), layers)
+        last = jax.tree.map(lambda x: x[-1], layers)
+        layers_run = jnp.asarray(n_layers, jnp.int32)
 
-    last = jax.tree.map(lambda x: x[-1], params["layers"] if depth is None else layers)
     if assignment_impl == "fused":
         from ..ops.pallas_assignment import filter_matches_fused
 
@@ -485,14 +554,15 @@ def forward_impl(
         "matches0": matches0,
         "matching_scores0": mscores0,
         "valid0": valid0,
+        "layers_run": layers_run,
     }
 
 
 forward = jax.jit(
     forward_impl,
     static_argnames=(
-        "num_heads", "filter_threshold", "depth", "compute_dtype", "attn_impl",
-        "assignment_impl", "ffn_impl", "layout",
+        "num_heads", "filter_threshold", "depth", "depth_confidence",
+        "compute_dtype", "attn_impl", "assignment_impl", "ffn_impl", "layout",
     ),
 )
 
