@@ -7,7 +7,9 @@ The per-pair torch forward becomes one jitted program per pair batch
 batch-level adaptive-depth early exit (a ``lax.while_loop`` that stops once
 every pair in the batch is token-confident — reference
 ``lightglue.py:593-604`` semantics, batched conservatively);
-``width_confidence`` (point pruning) is a no-op on TPU (see model docstring).
+``width_confidence`` (point pruning, reference ``lightglue.py:501-516``)
+masks confident-but-unmatchable points out of later layers and the
+assignment — same math as the reference's gather, static shapes.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ class LightGlueMatcher(BatchedMatcher):
         self.n_layers = int(self.conf.get("n_layers", 9))
         self.filter_threshold = float(self.conf.get("filter_threshold", 0.1))
         self.depth_confidence = float(self.conf.get("depth_confidence", -1))
+        self.width_confidence = float(self.conf.get("width_confidence", -1))
         self.params = load_default_params(
             str(self.conf.get("features", "superpoint")), self.n_layers
         )
@@ -59,6 +62,7 @@ class LightGlueMatcher(BatchedMatcher):
             jnp.asarray(batch1["image_size"], dtype=jnp.float32),
             filter_threshold=self.filter_threshold,
             depth_confidence=self.depth_confidence,
+            width_confidence=self.width_confidence,
             compute_dtype=str(self.tpu.get("dtype", "bfloat16")),
             attn_impl=self.tpu.get("attn_impl", default_attn_impl()),
             assignment_impl=self.tpu.get(

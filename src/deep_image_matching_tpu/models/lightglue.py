@@ -365,6 +365,8 @@ def forward_impl(
     filter_threshold: float = 0.1,
     depth: Optional[int] = None,
     depth_confidence: float = -1.0,
+    width_confidence: float = -1.0,
+    pruning_min_kpts: int = 1536,
     compute_dtype: str = "float32",
     attn_impl: str = "xla",
     assignment_impl: str = "dense",
@@ -460,57 +462,97 @@ def forward_impl(
         desc0, desc1 = X[:B], X[B:]
         last = jax.tree.map(lambda x: x[-1], layers)
         layers_run = jnp.asarray(n_layers, jnp.int32)
-    elif depth_confidence is not None and depth_confidence > 0:
+    elif (depth_confidence is not None and depth_confidence > 0) or (
+        width_confidence is not None and width_confidence > 0
+    ):
         # Adaptive depth (reference lightglue.py:593-604): sigmoid token
         # confidences vs the layer-indexed threshold
         # clip(0.8 + 0.1 * exp(-4 i / n), 0, 1); stop when the confident
         # ratio over valid points of BOTH images exceeds depth_confidence
         # for every pair in the batch.
-        n_pts = (jnp.sum(mask0, 1) + jnp.sum(mask1, 1)).astype(jnp.float32)
+        #
+        # Width pruning (reference :501-516) rides the same loop when
+        # width_confidence > 0: points that are token-confident AND have
+        # matchability <= (1 - width_confidence) are masked out of later
+        # layers and the assignment. The reference physically gathers the
+        # survivors (a speed device on GPUs); with static TPU shapes the
+        # masked form is the same math — pruned points can't attend, be
+        # attended to, or match — without any dynamic-shape recompile.
+        # Reference gates pruning on > pruning_min_kpts current points
+        # (lightglue.py:608-612, 1536 for flash); applied per pair here.
+        do_prune = width_confidence is not None and width_confidence > 0
+        do_stop = depth_confidence is not None and depth_confidence > 0
+        # reference check_if_stop divides by the ORIGINAL m+n (not the
+        # post-pruning count) — pruned points implicitly count as confident
+        n_pts_orig = (jnp.sum(mask0, 1) + jnp.sum(mask1, 1)).astype(jnp.float32)
 
-        def _confident_ratio(d0, d1, token_p, i):
-            th = jnp.clip(
-                0.8 + 0.1 * jnp.exp(-4.0 * i.astype(jnp.float32) / n_layers),
-                0.0, 1.0,
-            )
+        def _confidences(d0, d1, token_p):
             c0 = jax.nn.sigmoid(
                 _linear(d0, token_p)[..., 0].astype(jnp.float32))
             c1 = jax.nn.sigmoid(
                 _linear(d1, token_p)[..., 0].astype(jnp.float32))
-            n_conf = (
-                jnp.sum((c0 >= th) & mask0, 1) + jnp.sum((c1 >= th) & mask1, 1)
-            ).astype(jnp.float32)
-            return n_conf / jnp.maximum(n_pts, 1.0)
+            return c0, c1
+
+        def _conf_threshold(i):
+            return jnp.clip(
+                0.8 + 0.1 * jnp.exp(-4.0 * i.astype(jnp.float32) / n_layers),
+                0.0, 1.0,
+            )
 
         def cond(carry):
-            i, _, _, stop = carry
+            i, _, _, _, _, stop = carry
             return (i < n_layers) & ~stop
 
         def body(carry):
-            i, d0, d1, _ = carry
+            i, d0, d1, m0_, m1_, _ = carry
             layer = jax.tree.map(
                 lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
                 layers,
             )
-            d0 = _self_block(d0, enc0, mask0, layer["self"], num_heads,
+            d0 = _self_block(d0, enc0, m0_, layer["self"], num_heads,
                              attn_impl, ffn_impl)
-            d1 = _self_block(d1, enc1, mask1, layer["self"], num_heads,
+            d1 = _self_block(d1, enc1, m1_, layer["self"], num_heads,
                              attn_impl, ffn_impl)
             d0, d1 = _cross_block(
-                d0, d1, mask0, mask1, layer["cross"], num_heads, attn_impl,
+                d0, d1, m0_, m1_, layer["cross"], num_heads, attn_impl,
                 ffn_impl
             )
             # the last layer has no (real) confidence head — loop bound exits
-            ratio = _confident_ratio(d0, d1, layer["token"], i)
-            stop = (i < n_layers - 1) & jnp.all(ratio > depth_confidence)
-            return (i + 1, d0, d1, stop)
+            th = _conf_threshold(i)
+            c0, c1 = _confidences(d0, d1, layer["token"])
+            n_unconf = (
+                jnp.sum((c0 < th) & m0_, 1) + jnp.sum((c1 < th) & m1_, 1)
+            ).astype(jnp.float32)
+            ratio = 1.0 - n_unconf / jnp.maximum(n_pts_orig, 1.0)
+            if do_stop:
+                stop = (i < n_layers - 1) & jnp.all(ratio > depth_confidence)
+            else:
+                stop = jnp.asarray(False)
+            if do_prune:
+                # keep = matchable OR not-yet-confident; prune only while the
+                # loop continues and the pair still has > min_kpts points
+                mp = layer["assign"]["match"]
+                s0 = jax.nn.sigmoid(
+                    _linear(d0, mp)[..., 0].astype(jnp.float32))
+                s1 = jax.nn.sigmoid(
+                    _linear(d1, mp)[..., 0].astype(jnp.float32))
+                keep0 = (s0 > (1.0 - width_confidence)) | (c0 <= th)
+                keep1 = (s1 > (1.0 - width_confidence)) | (c1 <= th)
+                live = (i < n_layers - 1) & ~stop
+                allow0 = live & (jnp.sum(m0_, 1, keepdims=True) > pruning_min_kpts)
+                allow1 = live & (jnp.sum(m1_, 1, keepdims=True) > pruning_min_kpts)
+                m0_ = m0_ & (keep0 | ~allow0)
+                m1_ = m1_ & (keep1 | ~allow1)
+            return (i + 1, d0, d1, m0_, m1_, stop)
 
-        layers_run, desc0, desc1, _ = jax.lax.while_loop(
+        layers_run, desc0, desc1, mask0, mask1, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.asarray(0, jnp.int32), desc0, desc1, jnp.asarray(False)),
+            (jnp.asarray(0, jnp.int32), desc0, desc1, mask0, mask1,
+             jnp.asarray(False)),
         )
         # assignment head of the layer we exited at (reference :541 uses
-        # log_assignment[i] of the break layer)
+        # log_assignment[i] of the break layer); pruned points stay masked
+        # out of the assignment, matching the reference's scatter-back of -1
         last = jax.tree.map(
             lambda x: jax.lax.dynamic_index_in_dim(
                 x, layers_run - 1, 0, keepdims=False),
@@ -562,6 +604,7 @@ forward = jax.jit(
     forward_impl,
     static_argnames=(
         "num_heads", "filter_threshold", "depth", "depth_confidence",
+        "width_confidence", "pruning_min_kpts",
         "compute_dtype", "attn_impl", "assignment_impl", "ffn_impl", "layout",
     ),
 )

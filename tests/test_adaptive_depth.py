@@ -88,3 +88,60 @@ def test_wrapper_plumbs_depth_confidence():
 
     m = LightGlueMatcher({"matcher": {"depth_confidence": 0.9}})
     assert m.depth_confidence == 0.9
+    assert m.width_confidence == 0.99  # preset default
+
+
+def _force_match_bias(params, value: float):
+    """Matchability heads pinned high (never prune) or low (always prune)."""
+    p = jax.tree.map(lambda x: x, params)
+    a = p["layers"]["assign"]
+    p["layers"] = dict(p["layers"])
+    p["layers"]["assign"] = dict(a)
+    p["layers"]["assign"]["match"] = {
+        "w": jnp.zeros_like(a["match"]["w"]),
+        "b": jnp.full_like(a["match"]["b"], value),
+    }
+    return p
+
+
+def test_width_pruning_below_min_kpts_is_noop():
+    """K=64 < pruning_min_kpts=1536 -> pruning never engages; outputs equal
+    the plain while-loop path."""
+    params = lg.init_params(jax.random.PRNGKey(3), 4)
+    kpts, desc, mask, size = _inputs()
+    a = lg.forward(params, kpts, kpts, desc, desc, mask, mask, size, size,
+                   width_confidence=0.99)
+    b = lg.forward(params, kpts, kpts, desc, desc, mask, mask, size, size)
+    np.testing.assert_allclose(
+        np.asarray(a["matching_scores0"]), np.asarray(b["matching_scores0"]),
+        atol=1e-6)
+
+
+def test_width_pruning_drops_confident_unmatchable_points():
+    """Token heads fully confident + matchability pinned low + min_kpts 0 ->
+    every point is pruned after layer 0 and nothing can match (the
+    reference returns empty matches in this regime, lightglue.py:518-539)."""
+    params = _force_match_bias(
+        _force_token_bias(lg.init_params(jax.random.PRNGKey(3), 4), 50.0),
+        -50.0,
+    )
+    kpts, desc, mask, size = _inputs()
+    out = lg.forward(params, kpts, kpts, desc, desc, mask, mask, size, size,
+                     width_confidence=0.99, pruning_min_kpts=0)
+    assert not np.asarray(out["valid0"]).any()
+
+
+def test_width_pruning_never_drops_unconfident_points():
+    """Low token confidence protects points from pruning regardless of
+    matchability (reference get_pruning_mask :601-604)."""
+    params = _force_match_bias(
+        _force_token_bias(lg.init_params(jax.random.PRNGKey(3), 4), -50.0),
+        -50.0,
+    )
+    kpts, desc, mask, size = _inputs()
+    a = lg.forward(params, kpts, kpts, desc, desc, mask, mask, size, size,
+                   width_confidence=0.99, pruning_min_kpts=0)
+    b = lg.forward(params, kpts, kpts, desc, desc, mask, mask, size, size)
+    np.testing.assert_allclose(
+        np.asarray(a["matching_scores0"]), np.asarray(b["matching_scores0"]),
+        atol=1e-6)

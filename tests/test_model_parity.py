@@ -222,6 +222,73 @@ def test_lightglue_forward_parity(ref_lightglue, monkeypatch):
     np.testing.assert_allclose(got_s0, ref_s0, atol=2e-4)
 
 
+@pytest.mark.parametrize("wc", [0.99, 0.2])
+def test_lightglue_adaptive_parity(ref_lightglue, wc):
+    """Adaptive depth + width pruning vs the reference per-pair path (B=1 so
+    batch-level exit == per-pair exit). pruning_min_kpts=-1 mirrors torch's
+    CPU threshold (lightglue.py pruning_keypoint_thresholds['cpu']).
+    wc=0.2 actually prunes points with these random weights (verified: 4+5
+    of 64+72 points dropped before the final layer); wc=0.99 is the preset
+    operating point where random-weight matchability keeps everything."""
+    from deep_image_matching_tpu.models.lightglue import forward, params_from_torch
+
+    torch.manual_seed(1)
+    n_layers = 5
+    net = ref_lightglue.LightGlue(
+        features=None,
+        n_layers=n_layers,
+        depth_confidence=0.95,
+        width_confidence=wc,
+        flash=False,
+        filter_threshold=0.01,
+    ).eval()
+    sd = net.state_dict()
+
+    rng = np.random.default_rng(7)
+    M, N, D = 64, 72, 256
+    kpts0 = rng.uniform([0, 0], [640, 480], size=(1, M, 2)).astype(np.float32)
+    kpts1 = rng.uniform([0, 0], [640, 480], size=(1, N, 2)).astype(np.float32)
+    desc0 = rng.normal(size=(1, M, D)).astype(np.float32)
+    desc1 = rng.normal(size=(1, N, D)).astype(np.float32)
+    size = np.array([[640, 480]], np.float32)
+
+    with torch.no_grad():
+        ref_out = net(
+            {
+                "image0": {
+                    "keypoints": torch.from_numpy(kpts0),
+                    "descriptors": torch.from_numpy(desc0),
+                    "image_size": torch.from_numpy(size),
+                },
+                "image1": {
+                    "keypoints": torch.from_numpy(kpts1),
+                    "descriptors": torch.from_numpy(desc1),
+                    "image_size": torch.from_numpy(size),
+                },
+            }
+        )
+
+    params = params_from_torch(sd, n_layers=n_layers)
+    out = forward(
+        params,
+        jnp.asarray(kpts0), jnp.asarray(kpts1),
+        jnp.asarray(desc0), jnp.asarray(desc1),
+        jnp.ones((1, M), bool), jnp.ones((1, N), bool),
+        jnp.asarray(size), jnp.asarray(size),
+        filter_threshold=0.01,
+        depth_confidence=0.95,
+        width_confidence=wc,
+        pruning_min_kpts=-1,
+    )
+    assert int(out["layers_run"]) == int(ref_out["stop"])
+    ref_m0 = ref_out["matches0"].numpy()
+    got_m0 = np.asarray(out["matches0"])
+    assert (got_m0 == ref_m0).mean() > 0.99
+    np.testing.assert_allclose(
+        np.asarray(out["matching_scores0"]),
+        ref_out["matching_scores0"].numpy(), atol=2e-4)
+
+
 def test_lightglue_padding_invariance():
     """Padding extra invalid slots must not change valid matches."""
     from deep_image_matching_tpu.models.lightglue import forward, init_params
