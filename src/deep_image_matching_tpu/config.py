@@ -77,6 +77,11 @@ conf_general: Dict[str, Any] = {
     "sfm_backend": "auto",
     # native-mapper options (sfm.MapperOptions fields), e.g. {"ba_global_every": 0}
     "sfm_options": None,
+    # learned models ABORT when no pretrained checkpoint is found (matching
+    # the reference, whose torch.hub download failure is a hard error); set
+    # true (or env DIM_TPU_ALLOW_RANDOM_WEIGHTS=1) to run with random init
+    # for development
+    "allow_random_weights": False,
     # --- TPU-native execution options (new in this build) ---
     "tpu": {
         # images per extract batch (per size bucket) and pairs per match batch
@@ -351,6 +356,10 @@ class Config:
             self.update_from_yaml(merged_args["config_file"])
         self._validate()
         self._setup_paths()
+        if self.general.get("allow_random_weights"):
+            from .utils.weights import set_allow_random_weights
+
+            set_allow_random_weights(True)
 
     # -- CLI -> general mapping ---------------------------------------------
     def _parse_cli_args(self) -> None:

@@ -58,7 +58,9 @@ def _load(kind: str):
                     )
                 logger.info(f"Loaded DeDoDe descriptor-G from {cand}")
                 return _PARAMS[kind]
-        logger.warning("No DeDoDe descriptor-G weights; using random init.")
+        from ..utils.weights import missing_weights
+
+        missing_weights("DeDoDe descriptor-G", names)
         _PARAMS[kind] = dd.init_descriptor_g_params(jax.random.PRNGKey(31))
         return _PARAMS[kind]
     for base in ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]:
@@ -76,10 +78,9 @@ def _load(kind: str):
                 _PARAMS[kind] = conv(sd)
                 logger.info(f"Loaded DeDoDe {kind} weights from {cand}")
                 return _PARAMS[kind]
-    logger.warning(
-        f"No DeDoDe {kind} weights (set DIM_TPU_WEIGHTS_DIR); "
-        "using deterministic random init."
-    )
+    from ..utils.weights import missing_weights
+
+    missing_weights(f"DeDoDe {kind}", names)
     init = dd.init_detector_params if kind == "detector" else dd.init_descriptor_params
     _PARAMS[kind] = init(jax.random.PRNGKey(13))
     return _PARAMS[kind]

@@ -39,7 +39,9 @@ def _load():
                 _PARAMS = disk_model.params_from_torch(sd)
                 logger.info(f"Loaded DISK weights from {cand} (experimental mapping)")
                 return _PARAMS
-    logger.warning("No DISK weights (set DIM_TPU_WEIGHTS_DIR); using random init.")
+    from ..utils.weights import missing_weights
+
+    missing_weights("DISK", ["disk_depth.pth", "disk.pth", "epipolar-save.pth"])
     _PARAMS = disk_model.init_params(jax.random.PRNGKey(19))
     return _PARAMS
 

@@ -44,7 +44,12 @@ def _load():
                 _PARAMS = hn.hardnet_params_from_torch(sd)
                 logger.info(f"Loaded HardNet weights from {cand}")
                 return _PARAMS
-    logger.warning("No HardNet weights (set DIM_TPU_WEIGHTS_DIR); random init.")
+    from ..utils.weights import missing_weights
+
+    missing_weights(
+        "HardNet",
+        ["hardnet.pth", "HardNet++.pth", "checkpoint_liberty_with_aug.pth"],
+    )
     _PARAMS = hn.init_hardnet_params(jax.random.PRNGKey(23))
     return _PARAMS
 
@@ -90,10 +95,12 @@ def _load_affnet_orinet():
                     break
                 except KeyError as e:
                     logger.warning(f"{net} checkpoint {cand} not convertible: {e}")
+    from ..utils.weights import classical_fallback
+
     if found["affnet"] is None:
-        logger.info("No AffNet weights; using identity affine shape.")
+        classical_fallback("AffNet", "identity affine shape")
     if found["orinet"] is None:
-        logger.info("No OriNet weights; using gradient-moment orientation.")
+        classical_fallback("OriNet", "gradient-moment orientation")
     _AFFNET_PARAMS, _ORINET_PARAMS = found["affnet"], found["orinet"]
     return _AFFNET_PARAMS, _ORINET_PARAMS
 
@@ -121,9 +128,9 @@ def _load_keynet():
                     return _KEYNET_PARAMS
                 except KeyError as e:
                     logger.warning(f"KeyNet checkpoint {cand} not convertible: {e}")
-    logger.info(
-        "No KeyNet weights found; using the weight-free DoH detection stage."
-    )
+    from ..utils.weights import classical_fallback
+
+    classical_fallback("KeyNet", "determinant-of-Hessian detection")
     _KEYNET_PARAMS = None
     return _KEYNET_PARAMS
 

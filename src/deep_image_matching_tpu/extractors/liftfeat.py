@@ -40,7 +40,9 @@ def _load():
                 _PARAMS = lf_model.params_from_torch(sd)
                 logger.info(f"Loaded LiftFeat weights from {cand}")
                 return _PARAMS
-    logger.warning("No LiftFeat weights (set DIM_TPU_WEIGHTS_DIR); random init.")
+    from ..utils.weights import missing_weights
+
+    missing_weights("LiftFeat", ["LiftFeat.pth", "liftfeat.pth"])
     _PARAMS = lf_model.init_params(jax.random.PRNGKey(41))
     return _PARAMS
 

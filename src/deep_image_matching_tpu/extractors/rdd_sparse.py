@@ -40,7 +40,9 @@ def _load():
                 _PARAMS = rdd_model.params_from_torch(sd)
                 logger.info(f"Loaded RDD weights from {cand}")
                 return _PARAMS
-    logger.warning("No RDD weights (set DIM_TPU_WEIGHTS_DIR); random init.")
+    from ..utils.weights import missing_weights
+
+    missing_weights("RDD", ["RDD-v2.pth", "RDD-v1.pth", "rdd.pth"])
     _PARAMS = rdd_model.init_params(jax.random.PRNGKey(37))
     return _PARAMS
 

@@ -44,9 +44,9 @@ def _load():
             )
             logger.info(f"Loaded RIPE weights from {cand}")
             return _PARAMS
-    logger.warning(
-        "No RIPE weights found (set DIM_TPU_WEIGHTS_DIR); using random init."
-    )
+    from ..utils.weights import missing_weights
+
+    missing_weights("RIPE", ["ripe_weights.pth"])
     _PARAMS = ripe_model.init_params(jax.random.PRNGKey(17))
     return _PARAMS
 

@@ -38,9 +38,10 @@ def _load_open_params():
             _PARAMS = params_from_torch(torch.load(str(cand), map_location="cpu"))
             logger.info(f"Loaded open SuperPoint weights from {cand}")
             return _PARAMS
-    logger.warning(
-        "No open-SuperPoint weights found (set DIM_TPU_WEIGHTS_DIR); "
-        "using deterministic random init."
+    from ..utils.weights import missing_weights
+
+    missing_weights(
+        "SuperPoint-open", ["superpoint_open.pth", "superpoint_v6_from_tf.pth"]
     )
     _PARAMS = init_params(jax.random.PRNGKey(6))
     return _PARAMS

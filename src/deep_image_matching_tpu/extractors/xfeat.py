@@ -44,10 +44,9 @@ def load_params():
             )
             logger.info(f"Loaded XFeat weights from {cand}")
             return _PARAMS
-    logger.warning(
-        "No pretrained XFeat weights found (set DIM_TPU_WEIGHTS_DIR); "
-        "using deterministic random init."
-    )
+    from ..utils.weights import missing_weights
+
+    missing_weights("XFeat", ["xfeat.pt"])
     import jax
 
     _PARAMS = xfeat_model.init_params(jax.random.PRNGKey(3))

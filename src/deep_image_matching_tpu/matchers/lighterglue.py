@@ -44,10 +44,9 @@ def load_params():
             _PARAMS = lg.params_from_torch(sd, n_layers=6)
             logger.info(f"Loaded LighterGlue weights from {cand}")
             return _PARAMS
-    logger.warning(
-        "No pretrained LighterGlue weights (set DIM_TPU_WEIGHTS_DIR); "
-        "using deterministic random init."
-    )
+    from ..utils.weights import missing_weights
+
+    missing_weights("LighterGlue", ["xfeat-lighterglue.pt"])
     _PARAMS = lg.init_params(
         jax.random.PRNGKey(11), n_layers=6, dim=96, num_heads=1, input_dim=64
     )

@@ -48,10 +48,9 @@ def load_params(pretrained: str = "outdoor"):
                 _PARAMS = loftr_model.params_from_torch(sd)
                 logger.info(f"Loaded LoFTR weights from {cand}")
                 return _PARAMS
-    logger.warning(
-        "No pretrained LoFTR weights found (set DIM_TPU_WEIGHTS_DIR); "
-        "using deterministic random init - matches will be meaningless."
-    )
+    from ..utils.weights import missing_weights
+
+    missing_weights("LoFTR", names)
     import jax
 
     _PARAMS = loftr_model.init_params(jax.random.PRNGKey(21))

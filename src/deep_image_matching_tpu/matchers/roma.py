@@ -65,9 +65,11 @@ def load_params():
                     )
                 logger.info(f"Loaded RoMa weights from {cand}")
                 return _PARAMS
-    logger.warning(
-        "No RoMa weights (set DIM_TPU_WEIGHTS_DIR); using random init with a "
-        "shallow ViT - matches will be meaningless."
+    from ..utils.weights import missing_weights
+
+    missing_weights(
+        "RoMa",
+        ["roma_outdoor.pth", "roma_indoor.pth", "dinov2_vitl14_pretrain.pth"],
     )
     _PARAMS = roma_model.init_params(jax.random.PRNGKey(29), dinov2_depth=2)
     return _PARAMS

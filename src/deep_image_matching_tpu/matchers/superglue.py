@@ -38,9 +38,10 @@ def load_default_params(weights: str = "outdoor") -> dict:
             logger.info(f"Loaded SuperGlue weights from {cand}")
             _PARAM_CACHE[weights] = params
             return params
-    logger.warning(
-        f"No pretrained SuperGlue weights '{weights}' "
-        "(set DIM_TPU_WEIGHTS_DIR); using deterministic random init."
+    from ..utils.weights import missing_weights
+
+    missing_weights(
+        f"SuperGlue ({weights})", [f"superglue_{weights}.pth"]
     )
     params = sg.init_params(jax.random.PRNGKey(7))
     _PARAM_CACHE[weights] = params

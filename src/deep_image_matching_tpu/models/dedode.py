@@ -22,6 +22,8 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.detect import topk_flat
 import numpy as np
 
 from .vgg_refiner import (
@@ -188,7 +190,7 @@ def detect(
     logits = detector_logits(params, images)
     p = jax.nn.softmax(logits.reshape(B, H * W), axis=-1).reshape(B, H, W)
     score = _coverage_reweight(p)
-    vals, idx = jax.lax.top_k(score.reshape(B, H * W), num_keypoints)
+    vals, idx = topk_flat(score.reshape(B, H * W), num_keypoints)
     x = (idx % W).astype(jnp.float32)
     y = (idx // W).astype(jnp.float32)
     conf = jnp.take_along_axis(p.reshape(B, H * W), idx, axis=1)

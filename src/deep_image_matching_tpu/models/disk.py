@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.detect import bilinear_sample, max_pool_same, select_topk
+from ..ops.detect import bilinear_sample, max_pool_same, select_topk, topk_flat
 
 Params = Dict
 
@@ -156,7 +156,7 @@ def extract(
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)[None]
     in_img = (ys < valid_hw[:, 0, None, None]) & (xs < valid_hw[:, 1, None, None])
     masked = jnp.where(in_img, nms, -jnp.inf)
-    vals, idx = jax.lax.top_k(masked.reshape(B, H * W), max_keypoints)
+    vals, idx = topk_flat(masked.reshape(B, H * W), max_keypoints)
     valid = jnp.isfinite(vals)
     x = (idx % W).astype(jnp.float32)
     y = (idx // W).astype(jnp.float32)

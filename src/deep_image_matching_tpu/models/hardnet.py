@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.deform import bilinear_sample_zeropad
-from ..ops.detect import select_topk, simple_nms
+from ..ops.detect import select_topk, simple_nms, topk_flat
 
 Params = Dict
 
@@ -157,7 +157,7 @@ def multiscale_detect(
         & (xs >= border) & (xs < valid_hw[:, None, 1, None, None] - border)
     )
     flat = jnp.where(ok & (flat > threshold), flat, -1.0)
-    vals, idx = jax.lax.top_k(flat.reshape(B, S * H * W), max_keypoints)
+    vals, idx = topk_flat(flat.reshape(B, S * H * W), max_keypoints)
     valid = vals > 0
     lvl = idx // (H * W)
     rem = idx % (H * W)

@@ -207,7 +207,7 @@ def keynet_multiscale_detect(
     in one final top-k. Mirrors kornia's MultiResolutionDetector pyramid
     around ``KeyNet`` while keeping every shape static for XLA.
     """
-    from ..ops.detect import simple_nms
+    from ..ops.detect import simple_nms, topk_flat
 
     B, H, W = images.shape
     k_lvl = max_keypoints  # per-level candidate cap
@@ -231,7 +231,7 @@ def keynet_multiscale_detect(
         ok = (ys >= bb) & (ys < bh - bb) & (xs >= bb) & (xs < bw - bb)
         nms = jnp.where(ok, nms, -1.0)
         k_here = min(k_lvl, h * w)
-        vals, idx = jax.lax.top_k(nms.reshape(B, h * w), k_here)
+        vals, idx = topk_flat(nms.reshape(B, h * w), k_here)
         yy = (idx // w).astype(jnp.float32) * sy
         xx = (idx % w).astype(jnp.float32) * sx
         pad = k_lvl - k_here

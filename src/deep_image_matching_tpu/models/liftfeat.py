@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.detect import max_pool_same
+from ..ops.detect import max_pool_same, topk_flat
 from .xfeat import _sample_map_halfpix, _space_to_depth, get_kpts_heatmap
 
 Params = Dict
@@ -332,7 +332,7 @@ def extract(
 
     def per_image(h_map, posm, rm):
         flat = jnp.where(posm, h_map, -1.0).reshape(-1)
-        vals, idx = jax.lax.top_k(flat, top_k)
+        vals, idx = topk_flat(flat, top_k)
         valid = vals > 0
         x = (idx % W).astype(jnp.float32)
         y = (idx // W).astype(jnp.float32)

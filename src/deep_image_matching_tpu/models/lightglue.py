@@ -664,9 +664,11 @@ def load_default_params(features: str = "superpoint", n_layers: int = 9) -> Para
             logger.info(f"Loaded LightGlue weights from {cand}")
             _DEFAULT_PARAMS[key] = params
             return params
-    logger.warning(
-        f"No pretrained LightGlue weights for '{features}' "
-        "(set DIM_TPU_WEIGHTS_DIR); using deterministic random init."
+    from ..utils.weights import missing_weights
+
+    missing_weights(
+        f"LightGlue ({features})",
+        [f"{features}_lightglue.pth", f"{features}_lightglue_v0-1_arxiv.pth"],
     )
     params = init_params(
         jax.random.PRNGKey(42), n_layers=n_layers, input_dim=input_dim

@@ -305,9 +305,8 @@ def load_default_params() -> Params:
             _DEFAULT_PARAMS = params_from_torch(sd)
             logger.info(f"Loaded SuperPoint weights from {cand}")
             return _DEFAULT_PARAMS
-    logger.warning(
-        "No pretrained SuperPoint weights found (set DIM_TPU_WEIGHTS_DIR); "
-        "using deterministic random init - match quality will be degraded."
-    )
+    from ..utils.weights import missing_weights
+
+    missing_weights("SuperPoint", ["superpoint_v1.pth"])
     _DEFAULT_PARAMS = init_params(jax.random.PRNGKey(0))
     return _DEFAULT_PARAMS

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.detect import max_pool_same
+from ..ops.detect import max_pool_same, topk_flat
 
 Params = Dict
 
@@ -218,7 +218,7 @@ def extract(
     # integer NMS positions: K1h value * bilinear heatmap sample
     def per_image(k1h, hm, posm, fm):
         flat = jnp.where(posm, k1h, -1.0).reshape(-1)
-        vals, idx = jax.lax.top_k(flat, top_k)
+        vals, idx = topk_flat(flat, top_k)
         valid = vals > 0
         y = (idx // W).astype(jnp.float32)
         x = (idx % W).astype(jnp.float32)

@@ -78,18 +78,111 @@ def _custom_rotations(image_dir: Path) -> Dict[str, int]:
     return out
 
 
+class _AlikedProbe:
+    """Probe extractor backed by the bundled ALIKED weights (same
+    ``extract_images`` / ``extract_arrays`` surface as SuperPointRunner) —
+    used when no SuperPoint checkpoint exists, so the upright stage still
+    runs on real weights."""
+
+    def __init__(self, max_keypoints: int = 512, resize_max: int = 512):
+        from .extractors.aliked import load_params
+
+        self.params = load_params("aliked-n16rot")
+        self.max_keypoints = max_keypoints
+        self.resize_max = resize_max
+
+    def extract_images(self, paths) -> list:
+        prepped = []
+        for p in paths:
+            img = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+            h, w = img.shape
+            scale = 1.0
+            if self.resize_max and max(h, w) > self.resize_max:
+                scale = self.resize_max / max(h, w)
+                img = cv2.resize(
+                    img, (round(w * scale), round(h * scale)),
+                    interpolation=cv2.INTER_AREA,
+                )
+            prepped.append((img, scale, (w, h)))
+        return self.extract_arrays(prepped)
+
+    def extract_arrays(self, prepped) -> list:
+        import jax.numpy as jnp
+
+        from .models import aliked as aliked_model
+
+        results = [None] * len(prepped)
+        pad_to = 32
+        buckets: Dict[tuple, list] = {}
+        for i, (img, _, _) in enumerate(prepped):
+            h, w = img.shape[:2]
+            buckets.setdefault(
+                (-(-h // pad_to) * pad_to, -(-w // pad_to) * pad_to), []
+            ).append(i)
+        for (ph, pw), idxs in buckets.items():
+            batch = np.zeros((len(idxs), ph, pw, 3), np.float32)
+            vhw = np.zeros((len(idxs), 2), np.int32)
+            for j, i in enumerate(idxs):
+                img = prepped[i][0]
+                if img.dtype == np.uint8:
+                    img = img.astype(np.float32) / 255.0
+                h, w = img.shape[:2]
+                batch[j, :h, :w] = img[..., None]
+                vhw[j] = (h, w)
+            out = aliked_model.extract(
+                self.params, jnp.asarray(batch), jnp.asarray(vhw),
+                max_keypoints=self.max_keypoints,
+                detection_threshold=0.2, nms_radius=3,
+            )
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for j, i in enumerate(idxs):
+                m = out["mask"][j]
+                scale = prepped[i][1]
+                results[i] = {
+                    "keypoints": out["keypoints"][j][m] / scale,
+                    "descriptors": out["descriptors"][j][m],
+                    "scores": out["scores"][j][m],
+                }
+        return results
+
+
+def _make_probe(max_size: int = 512):
+    """Real-weight probe selection: SuperPoint checkpoint if present, else the
+    bundled ALIKED weights, else (only when random weights are explicitly
+    allowed) random-init SuperPoint."""
+    from .models.superpoint import SuperPointRunner, load_default_params
+    from .utils import weights as W
+
+    with W.strict():
+        try:
+            return SuperPointRunner(
+                params=load_default_params(), max_keypoints=512,
+                resize_max=max_size,
+            )
+        except W.MissingWeightsError:
+            pass
+        try:
+            return _AlikedProbe(max_keypoints=512, resize_max=max_size)
+        except FileNotFoundError:
+            pass
+    logger.warning(
+        "upright probe: no SuperPoint or ALIKED checkpoints found; "
+        "falling back to random-init SuperPoint (policy-gated)."
+    )
+    return SuperPointRunner(max_keypoints=512, resize_max=max_size)
+
+
 def _probe_rotations(image_list, max_size: int = 512) -> Dict[str, int]:
     """Greedy 2-cluster growth: start from the first image at 0 deg, then for
     each remaining image test all 4 rotations against an already-oriented
     image and keep the rotation with most verified matches (reference
     ``image_matching.py:535-636``)."""
-    from .models.superpoint import SuperPointRunner
     from .ops.nn_match import nn_match_batch
     from .utils.geometric_verification import geometric_verification
     from .constants import GeometricVerification
     import jax.numpy as jnp
 
-    sp = SuperPointRunner(max_keypoints=512, resize_max=max_size)
+    sp = _make_probe(max_size)
     names = image_list.img_names
     rotations = {names[0]: 0}
     ref_feats = sp.extract_images([image_list[0].path])[0]

@@ -9,6 +9,12 @@ are generated.
 
 import os
 
+# Tests intentionally exercise random-init model paths (parity tests build
+# their own params; pipeline smoke tests have no checkpoints in CI). The
+# strict default — learned models abort without pretrained weights — has its
+# own dedicated test (tests/test_weights_policy.py).
+os.environ.setdefault("DIM_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+
 # Must be set before the first jax backend use. The environment's TPU
 # platform plugin overrides JAX_PLATFORMS, so force via jax.config too.
 os.environ["JAX_PLATFORMS"] = "cpu"

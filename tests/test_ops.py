@@ -148,3 +148,34 @@ def test_ransac_degenerate_too_few_points():
     x0 = np.random.rand(5, 2).astype(np.float32) * 100
     F, mask = ransac_fundamental_np(x0, x0, threshold=2.0)
     assert not mask.any()
+
+
+def test_topk_flat_exact_large_n():
+    """topk_flat must be exactly top-k for the (N, k) combinations that crash
+    the TPU compiler's plain lax.top_k lowering (N=307200, k=4000)."""
+    import jax.numpy as jnp
+
+    from deep_image_matching_tpu.ops.detect import topk_flat
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 307200)).astype(np.float32)
+    vals, idx = topk_flat(jnp.asarray(x), 4000)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for b in range(2):
+        ref = np.sort(x[b])[::-1][:4000]
+        np.testing.assert_allclose(np.sort(vals[b])[::-1], ref)
+        # indices point at the right values
+        np.testing.assert_allclose(x[b][idx[b]], vals[b])
+
+
+def test_topk_flat_small_n_passthrough():
+    import jax.numpy as jnp
+
+    from deep_image_matching_tpu.ops.detect import topk_flat
+
+    x = np.random.default_rng(1).normal(size=(3, 1000)).astype(np.float32)
+    vals, idx = topk_flat(jnp.asarray(x), 10)
+    for b in range(3):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(vals)[b])[::-1], np.sort(x[b])[::-1][:10]
+        )
