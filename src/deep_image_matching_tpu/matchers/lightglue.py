@@ -9,7 +9,15 @@ every pair in the batch is token-confident — reference
 ``lightglue.py:593-604`` semantics, batched conservatively);
 ``width_confidence`` (point pruning, reference ``lightglue.py:501-516``)
 masks confident-but-unmatchable points out of later layers and the
-assignment — same math as the reference's gather, static shapes.
+assignment — same math as the reference's gather, static shapes. When
+depth_confidence <= 0 the pruning mask is matchability-only, matching the
+reference's get_pruning_mask (token confidences are None there).
+
+Default 0.95/0.99 matches the reference's defaults. Measured cost of the
+adaptive while_loop path vs the fixed-depth lax.scan path on v5e at B=16,
+K=2048, bf16 with inputs that NEVER exit early (worst case): 74.8 vs
+72.0 ms/batch (+3.9%); easy batches exit at 5-7 layers for up to ~1.8x.
+Set depth_confidence/width_confidence: -1 in YAML for the scan path.
 """
 
 from __future__ import annotations
@@ -78,6 +86,8 @@ class LightGlueMatcher(BatchedMatcher):
         runner = LightGlueRunner(
             params=self.params, filter_threshold=self.filter_threshold,
             compute_dtype=self.tpu.get("dtype"),
+            depth_confidence=self.depth_confidence,
+            width_confidence=self.width_confidence,
         )
         f0 = _to_rows(feats0)
         f1 = _to_rows(feats1)

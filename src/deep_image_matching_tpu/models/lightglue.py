@@ -351,6 +351,14 @@ def filter_matches_static(scores, mask0, mask1, threshold: float):
 # Forward
 # ---------------------------------------------------------------------------
 
+def _token_confidences(d0, d1, token_p):
+    """TokenConfidence head (reference ``lightglue.py:593-604``). Module-level
+    so tests can monkeypatch per-pair confidences for mixed-batch exit tests."""
+    c0 = jax.nn.sigmoid(_linear(d0, token_p)[..., 0].astype(jnp.float32))
+    c1 = jax.nn.sigmoid(_linear(d1, token_p)[..., 0].astype(jnp.float32))
+    return c0, c1
+
+
 def forward_impl(
     params: Params,
     kpts0: jnp.ndarray,        # (B, M, 2) pixels
@@ -486,13 +494,6 @@ def forward_impl(
         # post-pruning count) — pruned points implicitly count as confident
         n_pts_orig = (jnp.sum(mask0, 1) + jnp.sum(mask1, 1)).astype(jnp.float32)
 
-        def _confidences(d0, d1, token_p):
-            c0 = jax.nn.sigmoid(
-                _linear(d0, token_p)[..., 0].astype(jnp.float32))
-            c1 = jax.nn.sigmoid(
-                _linear(d1, token_p)[..., 0].astype(jnp.float32))
-            return c0, c1
-
         def _conf_threshold(i):
             return jnp.clip(
                 0.8 + 0.1 * jnp.exp(-4.0 * i.astype(jnp.float32) / n_layers),
@@ -519,12 +520,14 @@ def forward_impl(
             )
             # the last layer has no (real) confidence head — loop bound exits
             th = _conf_threshold(i)
-            c0, c1 = _confidences(d0, d1, layer["token"])
-            n_unconf = (
-                jnp.sum((c0 < th) & m0_, 1) + jnp.sum((c1 < th) & m1_, 1)
-            ).astype(jnp.float32)
-            ratio = 1.0 - n_unconf / jnp.maximum(n_pts_orig, 1.0)
             if do_stop:
+                # token-confidence head runs only when depth adaptivity is on
+                # (reference: confidences are None when depth_confidence <= 0)
+                c0, c1 = _token_confidences(d0, d1, layer["token"])
+                n_unconf = (
+                    jnp.sum((c0 < th) & m0_, 1) + jnp.sum((c1 < th) & m1_, 1)
+                ).astype(jnp.float32)
+                ratio = 1.0 - n_unconf / jnp.maximum(n_pts_orig, 1.0)
                 stop = (i < n_layers - 1) & jnp.all(ratio > depth_confidence)
             else:
                 stop = jnp.asarray(False)
@@ -536,8 +539,16 @@ def forward_impl(
                     _linear(d0, mp)[..., 0].astype(jnp.float32))
                 s1 = jax.nn.sigmoid(
                     _linear(d1, mp)[..., 0].astype(jnp.float32))
-                keep0 = (s0 > (1.0 - width_confidence)) | (c0 <= th)
-                keep1 = (s1 > (1.0 - width_confidence)) | (c1 <= th)
+                keep0 = s0 > (1.0 - width_confidence)
+                keep1 = s1 > (1.0 - width_confidence)
+                if do_stop:
+                    # low-token-confidence points are never pruned — but only
+                    # when the confidence head actually runs (reference
+                    # get_pruning_mask: confidences are None when
+                    # depth_confidence <= 0, so pruning is matchability-only
+                    # in that configuration)
+                    keep0 = keep0 | (c0 <= th)
+                    keep1 = keep1 | (c1 <= th)
                 live = (i < n_layers - 1) & ~stop
                 allow0 = live & (jnp.sum(m0_, 1, keepdims=True) > pruning_min_kpts)
                 allow1 = live & (jnp.sum(m1_, 1, keepdims=True) > pruning_min_kpts)
@@ -689,6 +700,8 @@ class LightGlueRunner:
         batch_size: int = 16,
         depth: Optional[int] = None,
         compute_dtype: Optional[str] = None,
+        depth_confidence: float = -1.0,
+        width_confidence: float = -1.0,
     ):
         self.params = params if params is not None else load_default_params(
             features, n_layers
@@ -696,6 +709,8 @@ class LightGlueRunner:
         self.filter_threshold = filter_threshold
         self.batch_size = batch_size
         self.depth = depth
+        self.depth_confidence = depth_confidence
+        self.width_confidence = width_confidence
         # None = auto (bf16 on accelerators, f32 on CPU); pass the matcher's
         # configured tpu.dtype to override
         self.compute_dtype = compute_dtype
@@ -772,6 +787,8 @@ class LightGlueRunner:
             take(store["size"], i0), take(store["size"], i1),
             filter_threshold=self.filter_threshold,
             depth=self.depth,
+            depth_confidence=self.depth_confidence,
+            width_confidence=self.width_confidence,
             compute_dtype=self.compute_dtype or (
                 "bfloat16" if jax.default_backend() != "cpu" else "float32"
             ),

@@ -60,6 +60,9 @@ def topk_flat(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     union of per-chunk top-k sets, so the result is exact. Measured on v5e:
     3.5 ms for (1, 307200) k=4000 vs a compiler abort for plain top_k.
     """
+    if flat.ndim == 1:
+        vals, idx = topk_flat(flat[None], k)
+        return vals[0], idx[0]
     B, n = flat.shape
     if n <= 65536 or k > n // 4:
         return jax.lax.top_k(flat, k)

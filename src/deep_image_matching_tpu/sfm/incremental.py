@@ -231,11 +231,19 @@ class IncrementalMapper:
 
     # -- initialization ---------------------------------------------------
 
-    def _try_initialize(self, id0: int, id1: int) -> bool:
+    def _evaluate_init(self, id0: int, id1: int):
+        """Score a candidate initial pair WITHOUT mutating mapper state.
+
+        Returns None when the pair fails the thresholds, else a dict with the
+        relative pose, triangulated points, and a score = number of
+        well-conditioned points. Scoring (instead of first-success) protects
+        against degenerate near-duplicate pairs that have the most raw
+        matches but almost no parallax (COLMAP's mapper similarly rejects
+        homography-dominated init pairs)."""
         opt = self.opt
         tids = self._pair_track_matches(id0, id1)
         if len(tids) < opt.init_min_matches:
-            return False
+            return None
         k0 = np.array([self.tracks[t][id0] for t in tids])
         k1 = np.array([self.tracks[t][id1] for t in tids])
         x0 = self._norm_kpts(id0, k0)
@@ -244,16 +252,16 @@ class IncrementalMapper:
         res = geom.ransac_essential(x0, x1, thresh=4.0 / f, n_iters=200,
                                     rng=self.rng)
         if res is None:
-            return False
+            return None
         E, mask = res
         if mask.sum() < opt.init_min_inliers:
-            return False
+            return None
         R, t, front = geom.decompose_essential(E, x0[mask], x1[mask])
         P0 = geom.pose_to_P(np.eye(3), np.zeros(3))
         P1 = geom.pose_to_P(R, t)
         inl_idx = np.where(mask)[0][front]
         if len(inl_idx) < opt.init_min_inliers:
-            return False
+            return None
         X = geom.triangulate_dlt(P0, P1, x0[inl_idx], x1[inl_idx])
         angles = geom.triangulation_angles(
             X, np.zeros(3), geom.camera_center(R, t)
@@ -263,18 +271,34 @@ class IncrementalMapper:
                 f"init pair ({id0},{id1}) rejected: median angle "
                 f"{np.median(angles):.2f} deg"
             )
-            return False
+            return None
         good = angles > opt.tri_min_angle_deg
-        self.poses[id0] = np.zeros(6)
-        self.poses[id1] = np.concatenate([geom.matrix_to_rotvec(R), t])
-        for tid, xyz in zip(np.asarray(tids)[inl_idx][good], X[good]):
-            self.points[int(tid)] = xyz
-        self.reg_order = [id0, id1]
-        logger.info(
-            f"Initialized from pair ({self.data.image_names[id0]}, "
-            f"{self.data.image_names[id1]}): {int(good.sum())} points, "
-            f"median angle {np.median(angles):.1f} deg"
+        return {
+            "id0": id0, "id1": id1, "R": R, "t": t,
+            "tids": np.asarray(tids)[inl_idx][good], "X": X[good],
+            "median_angle": float(np.median(angles)),
+            "score": int(good.sum()),
+        }
+
+    def _commit_init(self, info: dict) -> None:
+        self.poses[info["id0"]] = np.zeros(6)
+        self.poses[info["id1"]] = np.concatenate(
+            [geom.matrix_to_rotvec(info["R"]), info["t"]]
         )
+        for tid, xyz in zip(info["tids"], info["X"]):
+            self.points[int(tid)] = xyz
+        self.reg_order = [info["id0"], info["id1"]]
+        logger.info(
+            f"Initialized from pair ({self.data.image_names[info['id0']]}, "
+            f"{self.data.image_names[info['id1']]}): {info['score']} points, "
+            f"median angle {info['median_angle']:.1f} deg"
+        )
+
+    def _try_initialize(self, id0: int, id1: int) -> bool:
+        info = self._evaluate_init(id0, id1)
+        if info is None:
+            return False
+        self._commit_init(info)
         return True
 
     def initialize(self) -> bool:
@@ -307,9 +331,16 @@ class IncrementalMapper:
                         f"Relaxing initialization thresholds (round {round_i + 1}): "
                         f"min_matches={mm} min_inliers={mi} min_angle={ma:.2g} deg"
                     )
+                best = None
                 for id0, id1 in ranked[:20]:
-                    if self._try_initialize(id0, id1):
-                        return True
+                    info = self._evaluate_init(id0, id1)
+                    if info is None:
+                        continue
+                    if best is None or info["score"] > best["score"]:
+                        best = info
+                if best is not None:
+                    self._commit_init(best)
+                    return True
             return False
         finally:
             (opt.init_min_matches, opt.init_min_inliers,
@@ -609,6 +640,7 @@ class IncrementalMapper:
         self.filter_points()
         last_global = len(self.poses)
         since_ba = 0
+        relaxed = False
         while True:
             candidates = self.next_candidates()
             progressed = False
@@ -633,6 +665,22 @@ class IncrementalMapper:
                         last_global = len(self.poses)
                     break
             if not progressed:
+                # one-shot stall relaxation (COLMAP-style retry with looser
+                # absolute-pose bounds): small scenes legitimately have few
+                # 2D-3D correspondences right after a thin initialization
+                if not relaxed and len(self.poses) < len(self.data.image_names):
+                    relaxed = True
+                    self.opt.abs_pose_min_inliers = max(
+                        6, self.opt.abs_pose_min_inliers // 2
+                    )
+                    self.opt.abs_pose_thresh_px *= 1.5
+                    logger.info(
+                        "Registration stalled; relaxing absolute-pose "
+                        f"thresholds (min_inliers="
+                        f"{self.opt.abs_pose_min_inliers}, thresh="
+                        f"{self.opt.abs_pose_thresh_px:.1f} px) and retrying"
+                    )
+                    continue
                 break
         self.global_ba()
         self.filter_points()

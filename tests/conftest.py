@@ -38,6 +38,25 @@ import pytest
 REFERENCE_ASSETS = Path("/root/reference/assets")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (full model-parity/pipeline tier)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers: the default run skips @pytest.mark.slow files so a
+    plain ``pytest tests/`` finishes in a few minutes; ``--runslow`` runs
+    everything (CI runs both tiers as separate jobs)."""
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow tier; pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 def _synthetic_scene(tmp: Path, n: int = 3, size=(480, 640)) -> Path:
     """Render a textured synthetic scene from shifted viewpoints so real
     features match across frames."""

@@ -14,6 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from deep_image_matching_tpu.models import lightglue as lg
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _inputs(B=2, K=64, D=256, seed=0):
@@ -145,3 +148,53 @@ def test_width_pruning_never_drops_unconfident_points():
     np.testing.assert_allclose(
         np.asarray(a["matching_scores0"]), np.asarray(b["matching_scores0"]),
         atol=1e-6)
+
+
+def test_mixed_batch_runs_to_hardest_pair_depth(monkeypatch):
+    """B=2 batch where pair 0 is always token-confident and pair 1 never is:
+    the batch-level exit must run to FULL depth (the unconfident pair's
+    depth), and pair 0's outputs must equal its full-depth run bit-for-bit
+    (the central 'runs as deep as the hardest pair' semantics)."""
+    from deep_image_matching_tpu.models import lightglue as lg_mod
+
+    kpts, desc, mask, size = _inputs(B=2)
+    params = lg.init_params(jax.random.PRNGKey(0), n_layers=5)
+
+    def per_pair_conf(d0, d1, token_p):
+        B, K = d0.shape[0], d0.shape[1]
+        col = jnp.concatenate(
+            [jnp.ones((1, K), jnp.float32), jnp.zeros((B - 1, K), jnp.float32)]
+        )
+        return col, col
+
+    # full-depth baseline (no adaptivity)
+    full = lg.forward_impl(
+        params, kpts, kpts, desc, desc, mask, mask, size, size,
+        depth_confidence=-1.0,
+    )
+    monkeypatch.setattr(lg_mod, "_token_confidences", per_pair_conf)
+    mixed = lg.forward_impl(
+        params, kpts, kpts, desc, desc, mask, mask, size, size,
+        depth_confidence=0.95,
+    )
+    assert int(mixed["layers_run"]) == 5, (
+        f"mixed batch exited at {int(mixed['layers_run'])} < full depth"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mixed["matches0"][0]), np.asarray(full["matches0"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mixed["matches0"][1]), np.asarray(full["matches0"][1])
+    )
+
+    # control: when EVERY pair is confident the batch exits immediately
+    def all_conf(d0, d1, token_p):
+        ones = jnp.ones(d0.shape[:2], jnp.float32)
+        return ones, ones
+
+    monkeypatch.setattr(lg_mod, "_token_confidences", all_conf)
+    uniform = lg.forward_impl(
+        params, kpts, kpts, desc, desc, mask, mask, size, size,
+        depth_confidence=0.95,
+    )
+    assert int(uniform["layers_run"]) < 5

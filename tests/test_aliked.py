@@ -10,6 +10,8 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 ALIKED_WEIGHTS = Path(
     "/root/reference/src/deep_image_matching/thirdparty/ALIKED/models/aliked-n16rot.pth"
 )

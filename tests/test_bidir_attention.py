@@ -4,9 +4,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from deep_image_matching_tpu.ops.pallas_bidir_attention import (
     bidir_cross_attention, bidir_cross_attention_reference,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_bidir_matches_dense_reference_multi_tile():

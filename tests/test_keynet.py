@@ -10,6 +10,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from deep_image_matching_tpu.models import keynet as kn  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def _torch_spatial_gradient(x):
     """kornia spatial_gradient: normalized sobel, replicate padding."""

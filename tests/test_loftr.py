@@ -15,6 +15,8 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 LOFTR_DIR = "/root/reference/src/deep_image_matching/thirdparty/se2loftr/src/loftr"
 
 

@@ -17,6 +17,8 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 REF_LG_DIR = "/root/reference/src/deep_image_matching/thirdparty/LightGlue"
 REF_SP_DIR = "/root/reference/src/deep_image_matching/thirdparty/SuperGluePretrainedNetwork"
 

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 
 from deep_image_matching_tpu.models import lightglue as lg
 from deep_image_matching_tpu.ops.pallas_ffn import ffn_fused
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _params(rng, D):

@@ -4,6 +4,9 @@ mode on CPU; the real Mosaic compile is exercised on TPU)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _xla_ref(x, w1, b1, w2, b2):

@@ -16,6 +16,8 @@ from deep_image_matching_tpu.config import Config
 from deep_image_matching_tpu.image_matching import ImageMatcher
 from deep_image_matching_tpu.io.h5 import get_features, list_h5_names, list_pairs
 
+pytestmark = pytest.mark.slow
+
 
 def _run(project_dir, **kw):
     args = {

@@ -10,6 +10,8 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 FUNC_PATH = (
     "/root/reference/src/deep_image_matching/thirdparty/rdd/RDD/models/ops/"
     "functions/ms_deform_attn_func.py"

@@ -11,6 +11,8 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 ROMA_DIR = "/root/reference/src/deep_image_matching/thirdparty/RoMa"
 
 

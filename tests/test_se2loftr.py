@@ -15,6 +15,8 @@ import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 C1, C2, C3 = 32, 48, 64  # scaled-down field channels (multiples of 8)
 
 

@@ -10,6 +10,8 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 REF_SG_DIR = "/root/reference/src/deep_image_matching/thirdparty/SuperGluePretrainedNetwork"
 
 

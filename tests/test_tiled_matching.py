@@ -7,6 +7,8 @@ from deep_image_matching_tpu.config import Config
 from deep_image_matching_tpu.image_matching import ImageMatcher
 from deep_image_matching_tpu.io.h5 import get_features, get_matches, list_pairs
 
+pytestmark = pytest.mark.slow
+
 
 def test_tile_pair_selection_math():
     from deep_image_matching_tpu.constants import TileSelection
