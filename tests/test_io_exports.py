@@ -244,3 +244,106 @@ def test_upright_rotation_roundtrip(tmp_path, image_dir):
         back = rotate_keypoints_back(pts, deg, (rw, rh))
         for (rx, ry), (ox, oy) in zip(pts.astype(int), back.astype(int)):
             assert img[oy, ox] == rot[ry, rx]
+
+
+def test_bundler_proximity_merging(tmp_path, image_dir):
+    """Two distinct keypoints within px_tolerance in a shared image, observed
+    from two different pairs, must merge into ONE track (reference
+    h5_to_bundler.py:517 proximity merging + :788 chain resolution)."""
+    from deep_image_matching_tpu.io.h5_to_bundler import export_to_bundler
+
+    names = sorted(p.name for p in image_dir.iterdir())[:3]
+    feature_path = tmp_path / "features.h5"
+    match_path = tmp_path / "matches.h5"
+    import cv2
+
+    rng = np.random.default_rng(3)
+    for i, name in enumerate(names):
+        img = cv2.imread(str(image_dir / name))
+        h, w = img.shape[:2]
+        kpts = rng.uniform([10, 10], [w - 10, h - 10], (10, 2)).astype(np.float32)
+        if i == 1:
+            kpts[1] = kpts[0] + 0.4  # sub-tolerance near-duplicate in image 1
+        descs = rng.normal(size=(10, 8)).astype(np.float32)
+        descs[1] = descs[0]  # identical descriptors for the near-duplicates
+        save_features(feature_path, name, keypoints=kpts, descriptors=descs,
+                      scores=np.ones(10, np.float32),
+                      image_size=np.array([w, h]))
+    # pair (0,1) matches kpt0<->kpt0; pair (1,2) matches kpt1<->kpt0:
+    # without merging these are two tracks; with px_tolerance=1 they join
+    save_matches(match_path, names[0], names[1], np.array([[0, 0]]))
+    save_matches(match_path, names[1], names[2], np.array([[1, 0]]))
+
+    out_merge = export_to_bundler(
+        image_dir, feature_path, match_path, tmp_path / "merged",
+        px_tolerance=1.0, use_descriptors=True,
+    )
+    lines = out_merge.read_text().splitlines()
+    n_cams, n_tracks = map(int, lines[1].split())
+    assert n_tracks == 1, f"expected 1 merged track, got {n_tracks}"
+    # observation line: 3 observations across 3 images
+    obs_line = lines[2 + 5 * n_cams + 2]
+    assert obs_line.split()[0] == "3"
+
+    out_none = export_to_bundler(
+        image_dir, feature_path, match_path, tmp_path / "unmerged",
+        px_tolerance=0.0,
+    )
+    lines = out_none.read_text().splitlines()
+    _, n_tracks = map(int, lines[1].split())
+    assert n_tracks == 2
+
+
+def test_bundler_descriptor_gate_blocks_merge(tmp_path, image_dir):
+    """Spatially close observations with DISSIMILAR descriptors must NOT
+    merge when use_descriptors=True (reference :648,774 cosine gating)."""
+    from deep_image_matching_tpu.io.h5_to_bundler import export_to_bundler
+
+    names = sorted(p.name for p in image_dir.iterdir())[:3]
+    feature_path = tmp_path / "features.h5"
+    match_path = tmp_path / "matches.h5"
+    import cv2
+
+    rng = np.random.default_rng(4)
+    for i, name in enumerate(names):
+        img = cv2.imread(str(image_dir / name))
+        h, w = img.shape[:2]
+        kpts = rng.uniform([10, 10], [w - 10, h - 10], (10, 2)).astype(np.float32)
+        descs = np.zeros((10, 8), np.float32)
+        descs[np.arange(10), np.arange(10) % 8] = 1.0  # orthogonal units
+        if i == 1:
+            kpts[1] = kpts[0] + 0.4
+            descs[1, :] = 0.0
+            descs[1, 7] = 1.0  # orthogonal to descs[0]
+        save_features(feature_path, name, keypoints=kpts, descriptors=descs,
+                      scores=np.ones(10, np.float32),
+                      image_size=np.array([w, h]))
+    save_matches(match_path, names[0], names[1], np.array([[0, 0]]))
+    save_matches(match_path, names[1], names[2], np.array([[1, 0]]))
+
+    out = export_to_bundler(
+        image_dir, feature_path, match_path, tmp_path / "gated",
+        px_tolerance=1.0, use_descriptors=True, descriptor_threshold=0.8,
+    )
+    lines = out.read_text().splitlines()
+    _, n_tracks = map(int, lines[1].split())
+    assert n_tracks == 2, "orthogonal descriptors must block the merge"
+
+
+def test_bundler_camera_config(tmp_path, image_dir, toy_project):
+    """cameras.yaml focal/k1/k2 must appear in the camera block (reference
+    _parse_camera_config :146-213)."""
+    from deep_image_matching_tpu.io.h5_to_bundler import export_to_bundler
+
+    names, feature_path, match_path, image_dir = toy_project
+    cfg = tmp_path / "cameras.yaml"
+    cfg.write_text(
+        "general:\n  single_camera: false\n"
+        f"cam0:\n  images: \"{names[0]}\"\n  intrinsics: [1234.5, 0, 0, 0.01, -0.002]\n"
+    )
+    out = export_to_bundler(
+        image_dir, feature_path, match_path, tmp_path / "cams",
+        camera_config_path=cfg,
+    )
+    lines = out.read_text().splitlines()
+    assert lines[2].split() == ["1234.5", "0.01", "-0.002"]
