@@ -1,15 +1,16 @@
-"""AdaLAM-style geometry-aware match filtering.
+"""AdaLAM geometry-aware match filtering.
 
 Parity: reference ``matchers/adalam.py:9-77`` (kornia
-``GeometryAwareDescriptorMatcher`` in 'adalam' mode: NN matches filtered by
-local affine/motion consistency; Cavalli et al., ECCV'20).
+``GeometryAwareDescriptorMatcher`` in 'adalam' mode; Cavalli et al.,
+ECCV'20). Two modes:
 
-TPU-native formulation: mutual-NN + ratio candidates, then a dense local
-motion-consistency vote — for each candidate, neighbors within a spatial
-radius in image0 vote if their displacement agrees within a tolerance that
-scales with the neighborhood radius; candidates with enough coherent votes
-survive. All pairwise terms are (K, K) matrix ops on the MXU (no seed loop),
-which replaces AdaLAM's per-seed CUDA kernels with one batched program.
+- ``adalam`` (default, EXACT algorithm): seed selection by ratio-score NMS,
+  per-seed neighborhoods, 128-iteration local-affine RANSAC with adaptive
+  significance-based inlier selection and refit — ``ops/adalam.py``, one
+  batched XLA program (no per-seed CUDA kernels).
+- ``adalam_fast``: the cheaper dense motion-consistency vote (each candidate
+  needs >= min_votes neighbors with a coherent displacement). An
+  approximation — explicitly opt-in, not the reference algorithm.
 """
 
 from __future__ import annotations
@@ -21,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.nn_match import nn_match_batch
+from ..ops.adalam import adalam_filter
+from ..ops.nn_match import nn_match_batch, nn_match_with_ratios
 from .matcher_base import BatchedMatcher
 
 
@@ -57,8 +59,16 @@ def motion_consistency_filter(
 
 class AdalamMatcher(BatchedMatcher):
     default_conf = {
-        "match_mode": "adalam",
+        "match_mode": "adalam",   # 'adalam' (exact) | 'adalam_fast' (vote)
         "th": 0.8,
+        # exact-AdaLAM knobs (kornia AdalamConfig defaults)
+        "area_ratio": 100.0,
+        "search_expansion": 4.0,
+        "ransac_iters": 128,
+        "min_inliers": 6,
+        "min_confidence": 200.0,
+        "seed": 0,
+        # adalam_fast knobs
         "radius_frac": 0.1,
         "tolerance": 0.35,
         "min_votes": 4,
@@ -67,20 +77,55 @@ class AdalamMatcher(BatchedMatcher):
     def _match_batch_arrays(
         self, batch0: Dict[str, np.ndarray], batch1: Dict[str, np.ndarray]
     ) -> Tuple[np.ndarray, np.ndarray]:
-        matches0, valid = nn_match_batch(
-            jnp.asarray(batch0["descriptors"]), jnp.asarray(batch1["descriptors"]),
+        mode = str(self.conf.get("match_mode", "adalam"))
+        if mode == "adalam_fast":
+            matches0, valid = nn_match_batch(
+                jnp.asarray(batch0["descriptors"]),
+                jnp.asarray(batch1["descriptors"]),
+                jnp.asarray(batch0["mask"]), jnp.asarray(batch1["mask"]),
+                mode="smnn", ratio_th=float(self.conf.get("th", 0.8)),
+            )
+            keep = jax.vmap(
+                lambda k0, k1, m, v: motion_consistency_filter(
+                    k0, k1, m, v,
+                    radius_frac=float(self.conf.get("radius_frac", 0.1)),
+                    tolerance=float(self.conf.get("tolerance", 0.35)),
+                    min_votes=int(self.conf.get("min_votes", 4)),
+                )
+            )(
+                jnp.asarray(batch0["keypoints"]),
+                jnp.asarray(batch1["keypoints"]),
+                matches0, valid,
+            )
+            return matches0, keep  # lazy; caller materializes
+
+        # exact AdaLAM: ratio-scored candidates (no ratio gate — AdaLAM's
+        # own filtering decides) + seed mutuality, then the local-affine
+        # verification
+        matches0, valid, ratios, mutual = jax.vmap(
+            lambda a, b, c, d: nn_match_with_ratios(a, b, c, d, mode="mnn")
+        )(
+            jnp.asarray(batch0["descriptors"]),
+            jnp.asarray(batch1["descriptors"]),
             jnp.asarray(batch0["mask"]), jnp.asarray(batch1["mask"]),
-            mode="smnn", ratio_th=float(self.conf.get("th", 0.8)),
         )
+        B = matches0.shape[0]
+        keys = jax.random.split(
+            jax.random.PRNGKey(int(self.conf.get("seed", 0))), B
+        )
+        wh0 = jnp.asarray(batch0["image_size"], jnp.float32)
+        wh1 = jnp.asarray(batch1["image_size"], jnp.float32)
         keep = jax.vmap(
-            lambda k0, k1, m, v: motion_consistency_filter(
-                k0, k1, m, v,
-                radius_frac=float(self.conf.get("radius_frac", 0.1)),
-                tolerance=float(self.conf.get("tolerance", 0.35)),
-                min_votes=int(self.conf.get("min_votes", 4)),
+            lambda k0, k1, m, v, r, w0, w1, mu, key: adalam_filter(
+                k0, k1, m, v, r, w0, w1, key, mnn=mu,
+                area_ratio=float(self.conf.get("area_ratio", 100.0)),
+                search_expansion=float(self.conf.get("search_expansion", 4.0)),
+                ransac_iters=int(self.conf.get("ransac_iters", 128)),
+                min_inliers=int(self.conf.get("min_inliers", 6)),
+                min_confidence=float(self.conf.get("min_confidence", 200.0)),
             )
         )(
             jnp.asarray(batch0["keypoints"]), jnp.asarray(batch1["keypoints"]),
-            matches0, valid,
+            matches0, valid, ratios, wh0, wh1, mutual, keys,
         )
         return matches0, keep  # lazy; caller materializes

@@ -32,7 +32,9 @@ _SE2_TRIED = False
 
 
 def load_se2_params():
-    """Exported-form SE2-LoFTR params, or None when no checkpoint exists."""
+    """SE2-LoFTR params from the published e2cnn checkpoint (8rot.ckpt —
+    basis expansion happens at conversion time in numpy, no e2cnn needed) or
+    an already-exported one; None when no checkpoint exists."""
     global _SE2_PARAMS, _SE2_TRIED
     if _SE2_TRIED:
         return _SE2_PARAMS
@@ -40,15 +42,20 @@ def load_se2_params():
     wdir = os.environ.get("DIM_TPU_WEIGHTS_DIR")
     bases = ([Path(wdir)] if wdir else []) + [Path.home() / ".cache/dim_tpu"]
     for base in bases:
-        for name in ("se2loftr_8rot_exported.pth", "8rot_exported.ckpt"):
+        for name in (
+            "8rot.ckpt", "se2loftr_8rot.ckpt",
+            "se2loftr_8rot_exported.pth", "8rot_exported.ckpt",
+        ):
             cand = base / name
             if cand.exists():
                 import torch
 
                 from ..models import se2loftr as se2_model
 
-                ckpt = torch.load(str(cand), map_location="cpu")
-                _SE2_PARAMS = se2_model.params_from_exported_torch(
+                ckpt = torch.load(
+                    str(cand), map_location="cpu", weights_only=False
+                )
+                _SE2_PARAMS = se2_model.params_from_torch(
                     ckpt.get("state_dict", ckpt)
                 )
                 logger.info(f"Loaded SE2-LoFTR weights from {cand}")
@@ -63,10 +70,20 @@ class SE2LOFTRMatcher(LOFTRMatcher):
         super().__init__(config)
         self.se2_params = load_se2_params()
         if self.se2_params is None:
+            from ..utils.weights import missing_weights
+
+            # aborts under the strict policy; under allow_random_weights the
+            # pipeline degrades to standard LoFTR (use --upright for rotated
+            # imagery in that mode)
+            missing_weights(
+                "SE2-LoFTR",
+                ["8rot.ckpt", "se2loftr_8rot_exported.pth"],
+                note="The published 8rot.ckpt converts directly (the e2cnn "
+                "C8 basis expansion runs at load time in numpy).",
+            )
             logger.warning(
-                "se2loftr: no exported 8rot checkpoint found "
-                "(DIM_TPU_WEIGHTS_DIR/se2loftr_8rot_exported.pth); running "
-                "standard LoFTR (use --upright for rotated imagery)."
+                "se2loftr: running standard LoFTR instead "
+                "(use --upright for rotated imagery)."
             )
 
     def _match_images(self, path0, path1):

@@ -50,6 +50,155 @@ TRIV_COARSE = 256  # layer3triv output (block_dims[2] trivial fields)
 TRIV_FINE = 128    # layer1_outconv2 output (block_dims[0] trivial fields)
 
 
+def _e2_layer_specs() -> Dict[str, tuple]:
+    """(n_in_fields, in_repr_size, n_out_fields, out_repr_size, k) per R2Conv
+    of the 8-rotation E2_ResNetFPN_8_2 (reference ``resnet_e2.py:51-137``
+    with initial_dim=128, block_dims=[128,196,256], N=8,
+    e2_same_nbr_filters=True -> regular fields [16, 24, 32])."""
+    f1, f2, f3 = 16, 24, 32
+    N = N_ROT
+    specs = {
+        "backbone.conv1": (1, 1, f1, N, 7),
+        "backbone.layer3_outconv": (f3, N, f3, N, 1),
+        "backbone.layer3triv": (f3, N, TRIV_COARSE, 1, 3),
+        "backbone.layer2_outconv": (f2, N, f3, N, 1),
+        "backbone.layer2_outconv2.0": (f3, N, f3, N, 3),
+        "backbone.layer2_outconv2.3": (f3, N, f2, N, 3),
+        "backbone.layer1_outconv": (f1, N, f2, N, 1),
+        "backbone.layer1_outconv2.0": (f2, N, f2, N, 3),
+        "backbone.layer1_outconv2.3": (f2, N, TRIV_FINE, 1, 3),
+    }
+    stage_fields = {1: (f1, f1), 2: (f1, f2), 3: (f2, f3)}
+    for stage, (fi, fo) in stage_fields.items():
+        for b in range(2):
+            ci = fi if b == 0 else fo
+            specs[f"backbone.layer{stage}.{b}.conv1"] = (ci, N, fo, N, 3)
+            specs[f"backbone.layer{stage}.{b}.conv2"] = (fo, N, fo, N, 3)
+        if stage > 1:
+            specs[f"backbone.layer{stage}.0.downsample.0"] = (fi, N, fo, N, 1)
+    return specs
+
+
+def _expand_r2conv(sd: Dict, prefix: str, spec: tuple) -> np.ndarray:
+    """Expand one e2cnn R2Conv to a plain (out, in, k, k) conv filter.
+
+    Three sources, most exact first:
+    1. a cached ``<prefix>.filter`` buffer (present when the checkpoint was
+       saved in eval mode) — used verbatim;
+    2. the basis coefficients ``<prefix>.weights`` combined with the
+       persistent ``sampled_basis`` buffer(s) of the module's
+       BlocksBasisExpansion — ``filter = einsum(coeff, sampled_basis)``,
+       reassembled with field-major channel order (e2cnn FieldType layout);
+    uniform field types per layer (true for this backbone) mean exactly one
+    basis block per conv.
+    """
+    nf_in, s_in, nf_out, s_out, k = spec
+    cached = sd.get(f"{prefix}.filter")
+    if cached is not None:
+        return np.asarray(cached, np.float32).reshape(
+            nf_out * s_out, nf_in * s_in, k, k
+        )
+    w = np.asarray(sd[f"{prefix}.weights"], np.float32).reshape(-1)
+    blocks = [
+        v for key, v in sd.items()
+        if key.startswith(f"{prefix}.basisexpansion")
+        and key.endswith("sampled_basis")
+    ]
+    if len(blocks) != 1:
+        raise KeyError(
+            f"{prefix}: expected 1 sampled_basis buffer, found {len(blocks)} "
+            "(non-uniform field types are not supported)"
+        )
+    basis = np.asarray(blocks[0], np.float32)  # (dim, s_out, s_in, k*k)
+    dim = basis.shape[0]
+    if basis.shape[1:] != (s_out, s_in, k * k):
+        raise ValueError(
+            f"{prefix}: sampled_basis shape {basis.shape} does not match "
+            f"spec (*, {s_out}, {s_in}, {k * k})"
+        )
+    n_pairs = w.size // dim
+    if n_pairs != nf_out * nf_in:
+        raise ValueError(
+            f"{prefix}: {w.size} coefficients / dim {dim} = {n_pairs} pairs, "
+            f"expected {nf_out}*{nf_in}"
+        )
+    coeff = w.reshape(nf_out, nf_in, dim)
+    block = np.einsum("oid,dabq->oiabq", coeff, basis)
+    # (nf_out, nf_in, s_out, s_in, k*k) -> (nf_out*s_out, nf_in*s_in, k, k)
+    full = block.transpose(0, 2, 1, 3, 4).reshape(
+        nf_out * s_out, nf_in * s_in, k, k
+    )
+    return full
+
+
+def export_e2cnn_state_dict(state_dict) -> Dict[str, np.ndarray]:
+    """Convert the published 8rot.ckpt (e2cnn modules) to the plain-conv
+    "exported" form WITHOUT e2cnn installed — the numpy equivalent of a
+    one-time ``model.export()``. R2Conv filters expand from the checkpoint's
+    own persistent ``sampled_basis`` buffers; InnerBatchNorm's per-FIELD
+    statistics (shared across the repr's rotation channels — that sharing is
+    what makes BN equivariant) repeat across each field's repr size."""
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace("matcher.", "", 1) if k.startswith("matcher.") else k
+        sd[k] = np.asarray(v)
+
+    out: Dict[str, np.ndarray] = {}
+    specs = _e2_layer_specs()
+    for prefix, spec in specs.items():
+        out[f"{prefix}.weight"] = _expand_r2conv(sd, prefix, spec)
+
+    # InnerBatchNorm -> BatchNorm2d (field stats repeated across repr size)
+    bn_sizes = {
+        "backbone.bn1": N_ROT,
+        "backbone.layer2_outconv2.1": N_ROT,
+        "backbone.layer1_outconv2.1": N_ROT,
+    }
+    for stage in (1, 2, 3):
+        for b in range(2):
+            bn_sizes[f"backbone.layer{stage}.{b}.bn1"] = N_ROT
+            bn_sizes[f"backbone.layer{stage}.{b}.bn2"] = N_ROT
+        if stage > 1:
+            bn_sizes[f"backbone.layer{stage}.0.downsample.1"] = N_ROT
+    for prefix, s in bn_sizes.items():
+        for stat in ("weight", "bias", "running_mean", "running_var"):
+            keys = [
+                k for k in sd
+                if k.startswith(f"{prefix}.") and k.endswith(f".{stat}")
+                and "batch_norm" in k
+            ]
+            if len(keys) != 1:
+                raise KeyError(
+                    f"{prefix}: expected 1 InnerBatchNorm '{stat}' buffer, "
+                    f"found {keys}"
+                )
+            out[f"{prefix}.{stat}"] = np.repeat(np.asarray(sd[keys[0]]), s)
+
+    # plain (non-equivariant) transformer / matching modules pass through
+    consumed_prefixes = ("backbone.",)
+    for k, v in sd.items():
+        if not k.startswith(consumed_prefixes):
+            out[k] = v
+    return out
+
+
+def _is_e2cnn_state_dict(sd) -> bool:
+    return any(
+        k.endswith(".weights") or "basisexpansion" in k or "batch_norm" in k
+        for k in sd
+    )
+
+
+def params_from_torch(state_dict) -> Params:
+    """Convert SE2-LoFTR weights: the published e2cnn 8rot.ckpt directly
+    (basis expansion done here in numpy, no e2cnn needed) or an already
+    ``export()``-ed checkpoint."""
+    sd = {k: v for k, v in state_dict.items()}
+    if _is_e2cnn_state_dict(sd):
+        sd = export_e2cnn_state_dict(sd)
+    return params_from_exported_torch(sd)
+
+
 def params_from_exported_torch(state_dict) -> Params:
     """Convert an e2cnn-``export()``-ed SE2-LoFTR checkpoint (plain Conv2d /
     BatchNorm2d modules with the original attribute names)."""

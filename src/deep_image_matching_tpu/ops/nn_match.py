@@ -105,3 +105,34 @@ def nn_match_auto(desc0, desc1, mask0, mask1, mode="smnn", ratio_th=0.95):
                               ratio_th=ratio_th)
     return nn_match_batch(desc0, desc1, mask0, mask1, mode=mode,
                           ratio_th=ratio_th)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def nn_match_with_ratios(
+    desc0: jnp.ndarray,
+    desc1: jnp.ndarray,
+    mask0: jnp.ndarray,
+    mask1: jnp.ndarray,
+    mode: str = "smnn",
+    ratio_th: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """nn_match plus Lowe ratios and the mutual-NN mask (AdaLAM consumes
+    ratios as seed scores and mutuality for seed selection).
+
+    Returns (matches0, valid, ratios (N0,), mutual (N0,))."""
+    dist = _dist_matrix(desc0, desc1, mask0.astype(bool), mask1.astype(bool))
+    nn1_idx = jnp.argmin(dist, axis=1)
+    nn1_val = jnp.take_along_axis(dist, nn1_idx[:, None], axis=1)[:, 0]
+    dist2 = dist.at[jnp.arange(dist.shape[0]), nn1_idx].set(_INF)
+    nn2_val = jnp.min(dist2, axis=1)
+    valid = mask0.astype(bool) & jnp.isfinite(nn1_val)
+    ratio = jnp.sqrt(nn1_val) / jnp.sqrt(jnp.maximum(nn2_val, 1e-12))
+    ratio = jnp.where(jnp.isfinite(nn2_val), ratio, 1.0)
+    back = jnp.argmin(dist, axis=0)
+    mutual = valid & (back[nn1_idx] == jnp.arange(dist.shape[0]))
+    if mode in ("snn", "smnn"):
+        valid = valid & (ratio <= ratio_th)
+    if mode in ("mnn", "smnn"):
+        valid = valid & mutual
+    matches0 = jnp.where(valid, nn1_idx, -1).astype(jnp.int32)
+    return matches0, valid, ratio, mutual
