@@ -398,7 +398,7 @@ class BatchedMatcher(MatcherBase):
         """Tiled matching: expand each pair into tile-pair jobs whose masks
         restrict the padded feature sets to one tile each; indices stay
         global, so results union + dedup directly (matchers/tiling.py)."""
-        from ..constants import TileSelection
+        from ..constants import GeometricVerification, TileSelection
         from .tiling import LowResProbe, select_tile_pairs, tile_grid_for
 
         general = self.config.get("general", {})
@@ -412,9 +412,21 @@ class BatchedMatcher(MatcherBase):
             TileSelection.PRESELECTION,
             TileSelection.PRESELECTION_AFFINE_TRANSFORM,
         ):
-            probe = LowResProbe(
-                preselection_size=int(general.get("tile_preselection_size", 2000))
+            # reference matcher_base.py:1095-1110: the probe pipeline is
+            # configurable — superpoint+lightglue (default) or roma
+            presel_pipe = str(
+                general.get("preselection_pipeline", "superpoint+lightglue")
             )
+            if presel_pipe == "roma":
+                from .tiling import RomaProbe
+
+                probe = RomaProbe()
+            else:
+                probe = LowResProbe(
+                    preselection_size=int(
+                        general.get("tile_preselection_size", 2000)
+                    )
+                )
 
         # tile grids per image (origins recomputed from size + config)
         grids = {}
@@ -464,16 +476,40 @@ class BatchedMatcher(MatcherBase):
             )
             return self._match_batch_arrays(batch0, batch1)
 
+        gv_per_tile = bool(general.get("geometric_verification_per_tile", False))
+        gv_tile_th = float(general.get("gv_threshold_in_tiles_matching", 4))
+
         def finish(chunk, disp):
             matches0 = np.asarray(disp[0])
             valid = np.asarray(disp[1])
             for b, (p_idx, i0, i1, _t0, _t1) in enumerate(chunk):
                 sel = valid[b]
                 rows = np.nonzero(sel)[0]
-                if len(rows):
-                    per_pair[p_idx].append(
-                        np.stack([rows, matches0[b][rows]], axis=1)
+                if not len(rows):
+                    continue
+                m = np.stack([rows, matches0[b][rows]], axis=1)
+                if gv_per_tile:
+                    # reference matcher_base.py:428-440: verify each
+                    # tile-pair's matches independently; a tile pair with
+                    # < 15 inliers contributes nothing
+                    from ..utils.geometric_verification import (
+                        geometric_verification,
                     )
+
+                    _, inl = geometric_verification(
+                        store.keypoints_of(i0)[m[:, 0]],
+                        store.keypoints_of(i1)[m[:, 1]],
+                        method=general.get(
+                            "geom_verification", GeometricVerification.MAGSAC
+                        ),
+                        threshold=gv_tile_th,
+                        confidence=float(general.get("gv_confidence", 0.99999)),
+                        quiet=True,
+                    )
+                    if inl is None or inl.sum() < 15:
+                        continue
+                    m = m[inl]
+                per_pair[p_idx].append(m)
 
         # one-chunk-deep pipeline: the next chunk's device program is in
         # flight while the previous chunk's results are post-processed

@@ -251,3 +251,35 @@ class LowResProbe:
         valid = np.asarray(valid)
         rows = np.nonzero(valid)[0]
         return k0[rows], k1[matches0[rows]]
+
+
+class RomaProbe:
+    """RoMa-based preselection probe (reference ``matcher_base.py:1095-1110``:
+    ``preselection_pipeline: roma`` matches the downsampled pair densely and
+    samples 5000 correspondences). Runs the symmetric coarse pass at 560
+    without the upsample refinement (the reference probe uses coarse 420 +
+    upsample 560; our coarse grid requires multiples of 56)."""
+
+    def __init__(self, num_points: int = 5000):
+        self._matcher = None
+        self.num_points = num_points
+
+    def _get(self):
+        if self._matcher is None:
+            from .roma import RomaMatcher
+
+            self._matcher = RomaMatcher(
+                {
+                    "matcher": {
+                        "name": "roma",
+                        "coarse_res": 560,
+                        "upsample_preds": False,
+                        "num_sampled_points": self.num_points,
+                    },
+                    "general": {},
+                }
+            )
+        return self._matcher
+
+    def matches(self, path0, path1) -> Tuple[np.ndarray, np.ndarray]:
+        return self._get()._match_images(path0, path1)

@@ -38,7 +38,7 @@ class BAProblem(NamedTuple):
     """Padded, device-ready bundle-adjustment problem."""
 
     poses: jnp.ndarray       # (M,6) rvec||tvec
-    intr: jnp.ndarray        # (C,4) f,cx,cy,k1 (f stored linearly here)
+    intr: jnp.ndarray        # (C,8) fx,fy,cx,cy,k1,k2,p1,p2 (f linear here)
     points: jnp.ndarray      # (N,3)
     obs_pose: jnp.ndarray    # (O,) int32
     obs_cam: jnp.ndarray     # (O,) int32
@@ -46,7 +46,7 @@ class BAProblem(NamedTuple):
     obs_uv: jnp.ndarray      # (O,2)
     obs_w: jnp.ndarray       # (O,) 0 for padding
     pose_free: jnp.ndarray   # (M,6) 1 where the DOF is optimized
-    intr_free: jnp.ndarray   # (C,4) 1 where optimized (f slot = log f)
+    intr_free: jnp.ndarray   # (C,8) 1 where optimized (fx/fy slots = log f)
     point_free: jnp.ndarray  # (N,3)
 
 
@@ -59,17 +59,26 @@ def _rotvec_to_matrix(rvec):
     return jnp.eye(3) + jnp.sin(theta) * K + (1.0 - jnp.cos(theta)) * (K @ K)
 
 
-def _obs_residual(pose6, log_intr4, pt3, uv):
-    """Unweighted reprojection residual of one observation, (2,)."""
+def _obs_residual(pose6, log_intr8, pt3, uv):
+    """Unweighted reprojection residual of one observation, (2,).
+
+    Full OPENCV model: radial (k1, k2) + tangential (p1, p2) distortion with
+    independent fx/fy (stored as logs for a better-conditioned focal update).
+    """
     R = _rotvec_to_matrix(pose6[:3])
     Xc = R @ pt3 + pose6[3:]
     z = Xc[2]
     zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
     xy = Xc[:2] / zs
-    f = jnp.exp(log_intr4[0])
-    r2 = jnp.sum(xy**2)
-    xy = xy * (1.0 + log_intr4[3] * r2)
-    return xy * f + log_intr4[1:3] - uv
+    f = jnp.exp(log_intr8[0:2])
+    k1, k2 = log_intr8[4], log_intr8[5]
+    p1, p2 = log_intr8[6], log_intr8[7]
+    x, y = xy[0], xy[1]
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd]) * f + log_intr8[2:4] - uv
 
 
 _obs_res_batch = jax.vmap(_obs_residual)
@@ -105,8 +114,8 @@ def _ba_solve(prob: BAProblem, huber_delta, n_lm_iters: int, n_cg_iters: int):
     N = prob.points.shape[0]
     free = (prob.pose_free, prob.intr_free, prob.point_free)
 
-    log_intr0 = prob.intr.at[:, 0].set(
-        jnp.log(jnp.maximum(prob.intr[:, 0], 1e-6))
+    log_intr0 = prob.intr.at[:, 0:2].set(
+        jnp.log(jnp.maximum(prob.intr[:, 0:2], 1e-6))
     )
     theta0 = (prob.poses, log_intr0, prob.points)
 
@@ -201,7 +210,7 @@ def _ba_solve(prob: BAProblem, huber_delta, n_lm_iters: int, n_cg_iters: int):
         length=n_lm_iters,
     )
     poses, log_intr, points = theta
-    intr = log_intr.at[:, 0].set(jnp.exp(log_intr[:, 0]))
+    intr = log_intr.at[:, 0:2].set(jnp.exp(log_intr[:, 0:2]))
     return poses, intr, points, costs
 
 
@@ -236,6 +245,19 @@ def bundle_adjust(
     compiles a handful of program sizes per run), normalizes the scene to
     unit scale for float32 conditioning, and denormalizes the result.
     """
+    # legacy 4-vector (f, cx, cy, k1) compatibility: widen to the OPENCV
+    # 8-vector for the solve and collapse back on return
+    intr = np.asarray(intr, np.float64)
+    intr_free = np.asarray(intr_free, np.float64)
+    legacy4 = intr.shape[1] == 4
+    if legacy4:
+        f, cx, cy, k1 = intr.T
+        zc = np.zeros_like(f)
+        intr = np.stack([f, f, cx, cy, k1, zc, zc, zc], axis=1)
+        ff, fcx, fcy, fk1 = intr_free.T
+        zf = np.zeros_like(ff)
+        intr_free = np.stack([ff, ff, fcx, fcy, fk1, zf, zf, zf], axis=1)
+
     M, C, N, O = len(poses), len(intr), len(points), len(obs_pose)
     if O == 0 or N == 0:
         return {
@@ -266,7 +288,7 @@ def bundle_adjust(
         return out
 
     intr_safe = intr.copy()
-    intr_safe[:, 0] = np.where(intr_safe[:, 0] <= 0, 1.0, intr_safe[:, 0])
+    intr_safe[:, 0:2] = np.where(intr_safe[:, 0:2] <= 0, 1.0, intr_safe[:, 0:2])
     pf = (
         np.ones((N, 3), dtype)
         if point_free is None
@@ -292,6 +314,8 @@ def bundle_adjust(
     )
     poses_o = np.asarray(poses_o, np.float64)[:M]
     intr_o = np.asarray(intr_o, np.float64)[:C]
+    if legacy4:
+        intr_o = intr_o[:, [0, 2, 3, 4]]  # back to (f, cx, cy, k1)
     pts_o = np.asarray(pts_o, np.float64)[:N]
     # denormalize
     pts_out = pts_o * scale + centroid

@@ -53,38 +53,81 @@ def matrix_to_rotvec(R: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# camera model (COLMAP SIMPLE_RADIAL)
+# camera model — unified 8-parameter OPENCV vector
 # ---------------------------------------------------------------------------
+# Every camera is carried internally as ``(fx, fy, cx, cy, k1, k2, p1, p2)``
+# (the COLMAP OPENCV model); simpler models embed with fx=fy and zero
+# higher-order terms, so SIMPLE_RADIAL / RADIAL / PINHOLE round-trip exactly.
+
+
+def intr8(intr) -> np.ndarray:
+    """Coerce a legacy 4-vector (f, cx, cy, k1) or an 8-vector to intr8."""
+    intr = np.asarray(intr, np.float64).ravel()
+    if intr.size == 8:
+        return intr
+    if intr.size == 4:
+        f, cx, cy, k1 = intr
+        return np.array([f, f, cx, cy, k1, 0.0, 0.0, 0.0])
+    raise ValueError(f"intrinsics must be 4 or 8 values, got {intr.size}")
+
+
+def distort_normalized(intr: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    """Apply OPENCV radial+tangential distortion to normalized coords.
+
+    xy: (..., 2). Works with any leading batch shape and per-element
+    intrinsics broadcast as intr (..., 8) or a single (8,).
+    """
+    intr = np.asarray(intr, np.float64)
+    k1, k2 = intr[..., 4:5], intr[..., 5:6]
+    p1, p2 = intr[..., 6:7], intr[..., 7:8]
+    x, y = xy[..., 0:1], xy[..., 1:2]
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return np.concatenate([xd, yd], axis=-1)
+
+
+def normalized_to_pixels(intr: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    """Distorted normalized coords -> pixels (per-element intr broadcast)."""
+    intr = np.asarray(intr, np.float64)
+    xyd = distort_normalized(intr, xy)
+    return xyd * intr[..., 0:2] + intr[..., 2:4]
 
 
 def project_points(
     intr: np.ndarray, R: np.ndarray, t: np.ndarray, X: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """World points X (N,3) -> pixels (N,2) with intr=(f,cx,cy,k1).
+    """World points X (N,3) -> pixels (N,2) with the OPENCV intr8 model.
 
     Returns (uv, z_cam); z<=0 means behind the camera.
     """
+    intr = intr8(intr)
     Xc = X @ np.asarray(R).T + np.asarray(t)
     z = Xc[:, 2]
     zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
     xy = Xc[:, :2] / zs[:, None]
-    r2 = np.sum(xy**2, axis=1, keepdims=True)
-    xy = xy * (1.0 + intr[3] * r2)
-    uv = xy * intr[0] + np.asarray(intr[1:3])
+    uv = normalized_to_pixels(intr, xy)
     return uv, z
 
 
 def undistort_normalized(intr: np.ndarray, uv: np.ndarray) -> np.ndarray:
     """Pixels -> normalized (undistorted) camera coords.
 
-    Inverts SIMPLE_RADIAL distortion by fixed-point iteration (exact at k1=0).
-    """
-    f, cx, cy, k1 = [float(v) for v in intr]
-    xyd = (np.asarray(uv, np.float64) - [cx, cy]) / f
+    Inverts the OPENCV distortion by fixed-point iteration (exact when all
+    distortion terms are zero; converges for photographic distortion
+    magnitudes)."""
+    intr = intr8(intr)
+    fx, fy, cx, cy, k1, k2, p1, p2 = [float(v) for v in intr]
+    xyd = (np.asarray(uv, np.float64) - [cx, cy]) / [fx, fy]
     xy = xyd.copy()
-    for _ in range(8):
-        r2 = np.sum(xy**2, axis=1, keepdims=True)
-        xy = xyd / (1.0 + k1 * r2)
+    for _ in range(10):
+        x, y = xy[:, 0:1], xy[:, 1:2]
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        xy = (xyd - np.concatenate([dx, dy], axis=1)) / radial
     return xy
 
 

@@ -9,8 +9,10 @@ registration, multi-view DLT triangulation, and device bundle adjustment
 COLMAP text model + ``model.ply`` under ``reconstruction/``.
 
 Scope: this mapper targets the framework's example-scale scenes (tens to
-hundreds of images) with SIMPLE_RADIAL/PINHOLE cameras; pycolmap remains
-the preferred backend for full COLMAP fidelity when installed.
+hundreds of images) with SIMPLE_PINHOLE / PINHOLE / SIMPLE_RADIAL / RADIAL /
+OPENCV cameras (full radial+tangential distortion in projection,
+undistortion, and bundle adjustment); pycolmap remains the preferred
+backend for full COLMAP fidelity when installed.
 """
 
 from __future__ import annotations
@@ -54,8 +56,10 @@ class SfMData:
 def load_database(database_path: Path) -> SfMData:
     """Read images, keypoints, cameras and verified matches from the db.
 
-    Intrinsics are normalized to SIMPLE_RADIAL ``(f, cx, cy, k1)`` regardless
-    of the stored model (PINHOLE means k1=0 and f = mean(fx, fy)).
+    Intrinsics are carried as the 8-parameter OPENCV vector
+    ``(fx, fy, cx, cy, k1, k2, p1, p2)``; simpler models embed with fx=fy
+    and zero higher-order terms, so SIMPLE_PINHOLE / PINHOLE / SIMPLE_RADIAL
+    / RADIAL / OPENCV all round-trip exactly.
     """
     con = sqlite3.connect(str(database_path))
     cur = con.cursor()
@@ -65,23 +69,26 @@ def load_database(database_path: Path) -> SfMData:
         "FROM cameras"
     ):
         p = blob_to_array(params, np.float64)
+        z = 0.0
         if model == 0:  # SIMPLE_PINHOLE f cx cy
-            intr = np.array([p[0], p[1], p[2], 0.0])
+            intr = np.array([p[0], p[0], p[1], p[2], z, z, z, z])
         elif model == 1:  # PINHOLE fx fy cx cy
-            intr = np.array([(p[0] + p[1]) / 2.0, p[2], p[3], 0.0])
+            intr = np.array([p[0], p[1], p[2], p[3], z, z, z, z])
         elif model == 2:  # SIMPLE_RADIAL f cx cy k
-            intr = p[:4].copy()
-        elif model == 3:  # RADIAL f cx cy k1 k2 (k2 dropped)
-            intr = p[:4].copy()
-        elif model == 4:  # OPENCV fx fy cx cy k1 ...
-            intr = np.array([(p[0] + p[1]) / 2.0, p[2], p[3], p[4]])
+            intr = np.array([p[0], p[0], p[1], p[2], p[3], z, z, z])
+        elif model == 3:  # RADIAL f cx cy k1 k2
+            intr = np.array([p[0], p[0], p[1], p[2], p[3], p[4], z, z])
+        elif model == 4:  # OPENCV fx fy cx cy k1 k2 p1 p2
+            intr = np.array([p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7]])
         else:
             logger.warning(
                 f"Camera model id {model} unsupported by the native mapper; "
-                "treating as SIMPLE_RADIAL with k1=0"
+                "treating as PINHOLE with zero distortion"
             )
-            intr = np.array([p[0], p[1] if len(p) > 1 else width / 2.0,
-                             p[2] if len(p) > 2 else height / 2.0, 0.0])
+            intr = np.array([p[0], p[0],
+                             p[1] if len(p) > 1 else width / 2.0,
+                             p[2] if len(p) > 2 else height / 2.0,
+                             z, z, z, z])
         cameras[cam_id] = {
             "intr": intr, "width": width, "height": height, "model": model,
         }
@@ -248,7 +255,8 @@ class IncrementalMapper:
         k1 = np.array([self.tracks[t][id1] for t in tids])
         x0 = self._norm_kpts(id0, k0)
         x1 = self._norm_kpts(id1, k1)
-        f = float(self.intr[self.data.image_cam[id0]][0])
+        intr0 = self.intr[self.data.image_cam[id0]]
+        f = float((intr0[0] + intr0[1]) / 2.0)
         res = geom.ransac_essential(x0, x1, thresh=4.0 / f, n_iters=200,
                                     rng=self.rng)
         if res is None:
@@ -424,7 +432,7 @@ class IncrementalMapper:
             uvs = np.empty((T, V, 2))     # raw pixels (for validation)
             Rs = np.empty((T, V, 3, 3))
             ts = np.empty((T, V, 3))
-            intrs = np.empty((T, V, 4))
+            intrs = np.empty((T, V, 8))
             for a, (tid, reg) in enumerate(items):
                 tr = self.tracks[tid]
                 for b, im in enumerate(reg):
@@ -433,12 +441,20 @@ class IncrementalMapper:
                     intrs[a, b] = self.intr[self.data.image_cam[im]]
                     Rs[a, b] = Rm[im]
                     ts[a, b] = self.poses[im][3:]
-            # batch-undistort (vectorized fixed point; k1 varies per view)
-            xy = (uvs - intrs[..., 1:3]) / intrs[..., 0:1]
+            # batch-undistort (vectorized fixed point; full OPENCV model,
+            # distortion varies per view)
+            xy = (uvs - intrs[..., 2:4]) / intrs[..., 0:2]
             xs = xy.copy()
-            for _ in range(8):
-                r2 = np.sum(xs**2, axis=-1, keepdims=True)
-                xs = xy / (1.0 + intrs[..., 3:4] * r2)
+            for _ in range(10):
+                x1_, y1_ = xs[..., 0:1], xs[..., 1:2]
+                r2 = x1_ * x1_ + y1_ * y1_
+                radial = (1.0 + intrs[..., 4:5] * r2
+                          + intrs[..., 5:6] * r2 * r2)
+                dx = (2.0 * intrs[..., 6:7] * x1_ * y1_
+                      + intrs[..., 7:8] * (r2 + 2.0 * x1_ * x1_))
+                dy = (intrs[..., 6:7] * (r2 + 2.0 * y1_ * y1_)
+                      + 2.0 * intrs[..., 7:8] * x1_ * y1_)
+                xs = (xy - np.concatenate([dx, dy], axis=-1)) / radial
             P = np.concatenate([Rs, ts[..., None]], axis=-1)  # (T,V,3,4)
             rows = np.concatenate(
                 [
@@ -456,11 +472,7 @@ class IncrementalMapper:
             Xc = np.einsum("tvij,tj->tvi", Rs, X) + ts  # (T,V,3)
             z = Xc[..., 2]
             xyp = Xc[..., :2] / np.where(np.abs(z) < 1e-12, 1e-12, z)[..., None]
-            r2 = np.sum(xyp**2, axis=-1, keepdims=True)
-            uvp = (
-                xyp * (1.0 + intrs[..., 3:4] * r2) * intrs[..., 0:1]
-                + intrs[..., 1:3]
-            )
+            uvp = geom.normalized_to_pixels(intrs, xyp)
             err = np.linalg.norm(uvp - uvs, axis=-1)  # (T,V)
             ok = (z > 0).all(axis=1) & (err <= opt.tri_thresh_px).all(axis=1)
             # max pairwise triangulation angle
@@ -517,11 +529,21 @@ class IncrementalMapper:
         pose_free[0] = 0.0          # gauge: first pose constant
         if len(img_ids) > 1:
             pose_free[1, 3] = 0.0   # + one translation DOF (scale gauge)
-        intr_free = np.zeros((len(cam_ids), 4))
+        intr_free = np.zeros((len(cam_ids), 8))
         if opt.refine_focal:
-            intr_free[:, 0] = 1.0
+            intr_free[:, 0:2] = 1.0
         if opt.refine_distortion:
-            intr_free[:, 3] = 1.0
+            # free only the distortion terms the camera's SOURCE model has
+            # (COLMAP refines per-model): SIMPLE_RADIAL -> k1, RADIAL ->
+            # k1 k2, OPENCV -> k1 k2 p1 p2; pinhole models stay undistorted
+            for i, c in enumerate(cam_ids):
+                model = self.data.cameras[c]["model"]
+                if model == 2:
+                    intr_free[i, 4] = 1.0
+                elif model == 3:
+                    intr_free[i, 4:6] = 1.0
+                elif model == 4:
+                    intr_free[i, 4:8] = 1.0
         out = bundle_adjust(
             poses, intr, pts, obs_pose, obs_cam, obs_pt, obs_uv,
             pose_free, intr_free,
@@ -574,7 +596,7 @@ class IncrementalMapper:
             np.stack([self.points[t] for t in tids]),
             np.array(obs_pose), np.array(obs_cam), np.array(obs_pt),
             np.asarray(obs_uv, np.float64),
-            pose_free, np.zeros((len(cam_ids), 4)),
+            pose_free, np.zeros((len(cam_ids), 8)),
             huber_delta_px=opt.filter_thresh_px,
             n_lm_iters=max(8, opt.ba_lm_iters // 2),
             n_cg_iters=opt.ba_cg_iters,
@@ -616,8 +638,7 @@ class IncrementalMapper:
         Xc = np.einsum("oij,oj->oi", R, X) + t
         z = Xc[:, 2]
         xy = Xc[:, :2] / np.where(np.abs(z) < 1e-12, 1e-12, z)[:, None]
-        r2 = np.sum(xy**2, axis=1, keepdims=True)
-        uv = xy * (1.0 + intr[:, 3:4] * r2) * intr[:, 0:1] + intr[:, 1:3]
+        uv = geom.normalized_to_pixels(intr, xy)
         bad_obs = (z <= 0) | (
             np.linalg.norm(uv - uv_obs, axis=1) > opt.filter_thresh_px
         )
@@ -696,10 +717,23 @@ class IncrementalMapper:
         """Convert the mapper state to COLMAP cameras/images/points3D dicts."""
         cameras = {}
         for cid, cam in self.data.cameras.items():
+            fx, fy, cx, cy, k1, k2, p1, p2 = self.intr[cid]
+            # write back the camera's SOURCE model with its refined params
+            model = cam["model"]
+            if model == 0:
+                name, params = "SIMPLE_PINHOLE", [fx, cx, cy]
+            elif model == 1:
+                name, params = "PINHOLE", [fx, fy, cx, cy]
+            elif model == 3:
+                name, params = "RADIAL", [fx, cx, cy, k1, k2]
+            elif model == 4:
+                name, params = "OPENCV", [fx, fy, cx, cy, k1, k2, p1, p2]
+            else:
+                name, params = "SIMPLE_RADIAL", [fx, cx, cy, k1]
             cameras[cid] = Camera(
-                id=cid, model="SIMPLE_RADIAL",
+                id=cid, model=name,
                 width=cam["width"], height=cam["height"],
-                params=self.intr[cid].copy(),
+                params=np.asarray(params, np.float64),
             )
         # per-image 2D points & point3D ids
         colors = _point_colors(self, image_dir)
@@ -858,7 +892,7 @@ def native_triangulate_points(
             np.stack([mapper.points[t] for t in tids]),
             obs_pose, obs_cam, obs_pt, obs_uv,
             pose_free=np.zeros((len(img_ids), 6)),
-            intr_free=np.zeros((len(cam_ids), 4)),
+            intr_free=np.zeros((len(cam_ids), 8)),
             huber_delta_px=opt.filter_thresh_px,
             n_lm_iters=opt.ba_lm_iters, n_cg_iters=opt.ba_cg_iters,
         )

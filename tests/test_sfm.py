@@ -357,3 +357,119 @@ def test_build_tracks_matches_bruteforce_reference():
 
     got = {frozenset(tr.items()) for tr in build_tracks(data)}
     assert got == expected
+
+
+def test_opencv_camera_roundtrip_geometry():
+    """project -> undistort round-trips with the full OPENCV model
+    (fx != fy, k1, k2, p1, p2 all nonzero)."""
+    rng = np.random.default_rng(11)
+    intr = np.array([900.0, 940.0, 320.0, 240.0, -0.12, 0.03, 0.001, -0.0015])
+    X = rng.uniform([-2, -2, 6], [2, 2, 10], (500, 3))
+    R = G.rotvec_to_matrix(np.array([0.05, -0.1, 0.02]))
+    t = np.array([0.2, -0.1, 0.3])
+    uv, z = G.project_points(intr, R, t, X)
+    assert (z > 0).all()
+    xn = G.undistort_normalized(intr, uv)
+    Xc = X @ R.T + t
+    xn_true = Xc[:, :2] / Xc[:, 2:3]
+    np.testing.assert_allclose(xn, xn_true, atol=1e-9)
+
+
+def test_bundle_adjust_recovers_opencv_distortion():
+    """BA with intr_free on k1/k2/p1/p2 recovers injected distortion."""
+    from deep_image_matching_tpu.sfm.ba import bundle_adjust
+
+    rng = np.random.default_rng(12)
+    intr_true = np.array(
+        [[900.0, 900.0, 320.0, 240.0, -0.15, 0.02, 0.002, -0.001]]
+    )
+    _, X, poses = _make_scene(rng, n_cams=4, n_pts=600)
+    obs_pose, obs_cam, obs_pt, obs_uv = _observations(
+        intr_true[0], X, poses, rng, noise=0.1
+    )
+    intr0 = intr_true.copy()
+    intr0[0, 4:] = 0.0  # start from zero distortion
+    pose_free = np.ones((len(poses), 6))
+    pose_free[0] = 0
+    pose_free[1, 3] = 0
+    intr_free = np.zeros((1, 8))
+    intr_free[0, 4:8] = 1.0
+    out = bundle_adjust(
+        poses, intr0, X, obs_pose, obs_cam, obs_pt, obs_uv,
+        pose_free, intr_free, n_lm_iters=40, n_cg_iters=40,
+    )
+    got = out["intr"][0]
+    assert abs(got[4] - intr_true[0, 4]) < 0.02, got
+    assert abs(got[5] - intr_true[0, 5]) < 0.02, got
+    # residual check: reprojection with recovered intr near the noise floor
+    errs = []
+    for i in range(len(poses)):
+        Rm = G.rotvec_to_matrix(out["poses"][i, :3])
+        sel = obs_pose == i
+        uv, _ = G.project_points(got, Rm, out["poses"][i, 3:],
+                                 out["points"][obs_pt[sel]])
+        errs.append(np.linalg.norm(uv - obs_uv[sel], axis=1))
+    rms = np.sqrt((np.concatenate(errs) ** 2).mean())
+    assert rms < 0.3, rms
+
+
+def test_incremental_mapper_opencv_scene(tmp_path):
+    """Full mapper on a synthetic OPENCV-distorted scene: registers all
+    images, refines distortion, and writes the model back as OPENCV."""
+    from deep_image_matching_tpu.io.colmap_db import COLMAPDatabase
+    from deep_image_matching_tpu.sfm.incremental import (
+        native_incremental_mapping,
+    )
+
+    rng = np.random.default_rng(13)
+    intr = np.array([900.0, 920.0, 320.0, 240.0, -0.10, 0.015, 0.001, -0.001])
+    X = rng.uniform([-4, -4, 8], [4, 4, 16], (900, 3))
+    poses = [np.zeros(6)]
+    for i in range(1, 6):
+        poses.append(np.concatenate([
+            rng.normal(0, 0.08, 3), [0.9 * i, 0.15 * i, 0.1 * i]
+        ]))
+    poses = np.stack(poses)
+    kpts, vis_ids = [], []
+    for p in poses:
+        R = G.rotvec_to_matrix(p[:3])
+        uv, z = G.project_points(intr, R, p[3:], X)
+        vis = ((z > 0) & (uv[:, 0] >= 0) & (uv[:, 0] < 640)
+               & (uv[:, 1] >= 0) & (uv[:, 1] < 480))
+        ids = np.where(vis)[0]
+        ids = ids[rng.permutation(len(ids))]
+        kpts.append(uv[ids] + rng.normal(0, 0.3, (len(ids), 2)))
+        vis_ids.append(ids)
+
+    db = COLMAPDatabase.connect(tmp_path / "database.db")
+    db.create_tables()
+    cam_id = db.add_camera(4, 640, 480, intr)  # model 4 = OPENCV
+    img_ids = []
+    for i in range(len(poses)):
+        iid = db.add_image(f"img{i}.jpg", cam_id)
+        db.add_keypoints(iid, kpts[i].astype(np.float32))
+        img_ids.append(iid)
+    for i in range(len(poses)):
+        for j in range(i + 1, min(i + 4, len(poses))):
+            _, ia, ib = np.intersect1d(vis_ids[i], vis_ids[j],
+                                       return_indices=True)
+            m = np.stack([ia, ib], axis=1).astype(np.uint32)
+            m = m[rng.random(len(m)) < 0.85]
+            db.add_matches(img_ids[i], img_ids[j], m)
+            db.add_two_view_geometry(img_ids[i], img_ids[j], m)
+    db.commit()
+    db.close()
+
+    res = native_incremental_mapping(
+        tmp_path / "database.db", tmp_path, tmp_path
+    )
+    assert res is not None
+    cameras, images, points3D = res
+    assert len(images) == len(poses)
+    assert len(points3D) > 400
+    cam = cameras[cam_id]
+    assert cam.model == "OPENCV"
+    assert len(cam.params) == 8
+    # focal and k1 recovered reasonably
+    assert abs(cam.params[0] - intr[0]) / intr[0] < 0.03
+    assert abs(cam.params[4] - intr[4]) < 0.04

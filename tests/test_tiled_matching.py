@@ -125,3 +125,58 @@ def test_tiled_sift_pipeline(project_dir, image_dir):
     assert len(m) >= 15
     # no duplicate query indices after dedup
     assert len(np.unique(m[:, 0])) == len(m)
+
+
+def test_tiled_sift_pipeline_per_tile_gv(project_dir, image_dir):
+    """geometric_verification_per_tile: each tile pair's matches verify
+    independently (reference matcher_base.py:428-440); the pipeline still
+    produces verified pairs on the test scene."""
+    args = {
+        "dir": str(project_dir),
+        "pipeline": "sift+kornia_matcher",
+        "strategy": "bruteforce",
+        "tiling": "grid",
+        "skip_reconstruction": True,
+        "force": True,
+    }
+    cfg = Config(args=args)
+    cfg.general["tile_size"] = (400, 300)
+    cfg.general["tile_overlap"] = 20
+    cfg.general["geometric_verification_per_tile"] = True
+    cfg.general["gv_threshold_in_tiles_matching"] = 4
+    matcher = ImageMatcher(cfg)
+    feature_path, match_path = matcher.run()
+    pairs = list_pairs(match_path)
+    assert len(pairs) >= 1
+    m = get_matches(match_path, *pairs[0])
+    assert len(m) >= 15
+
+
+def test_roma_probe_selected_by_config(project_dir, monkeypatch):
+    """preselection_pipeline: roma wires the RomaProbe into tile selection
+    (reference matcher_base.py:1095-1110). The probe itself is exercised via
+    a stub (running real RoMa on CPU is the slow-tier roma test's job)."""
+    from deep_image_matching_tpu.matchers import tiling as tiling_mod
+
+    calls = {}
+
+    class _StubRoma:
+        def matches(self, p0, p1):
+            calls["probe"] = (p0, p1)
+            return np.zeros((0, 2), np.float32), np.zeros((0, 2), np.float32)
+
+    monkeypatch.setattr(tiling_mod, "RomaProbe", lambda: _StubRoma())
+    args = {
+        "dir": str(project_dir),
+        "pipeline": "sift+kornia_matcher",
+        "strategy": "bruteforce",
+        "tiling": "preselection",
+        "skip_reconstruction": True,
+        "force": True,
+    }
+    cfg = Config(args=args)
+    cfg.general["tile_size"] = (400, 300)
+    cfg.general["preselection_pipeline"] = "roma"
+    matcher = ImageMatcher(cfg)
+    matcher.run()
+    assert "probe" in calls, "RomaProbe was not used for preselection"
