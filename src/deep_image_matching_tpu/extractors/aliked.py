@@ -101,9 +101,14 @@ class ALIKEDExtractor(ExtractorBase):
                 image_size=np.array([w, h], np.int64),
             )
 
-    def _run(self, prepped) -> list:
-        import jax.numpy as jnp
+    # ALIKED's SMH/SDDH head upsamples block features to full input
+    # resolution, so HBM scales with batch * pixels: cap the device batch by
+    # a pixel budget (4 x 1 MP fits comfortably on v5e at C<=128) and bisect
+    # on OOM (reference handles CUDA OOM by falling back to tiling,
+    # matcher_base.py:246-256; for extraction a smaller batch suffices)
+    pixel_budget = 4_200_000
 
+    def _run(self, prepped) -> list:
         pad_to = 32
         buckets: Dict[tuple, list] = {}
         for i, (arr, _) in enumerate(prepped):
@@ -117,41 +122,62 @@ class ALIKEDExtractor(ExtractorBase):
             else np.float32
         )
         for (ph, pw), idxs in buckets.items():
-            for start in range(0, len(idxs), self.batch_size):
-                chunk = idxs[start : start + self.batch_size]
-                batch = np.zeros((len(chunk), ph, pw, 3), batch_dtype)
-                vhw = np.zeros((len(chunk), 2), np.int32)
-                for j, i in enumerate(chunk):
-                    arr = prepped[i][0]
-                    if batch_dtype == np.float32 and arr.dtype == np.uint8:
-                        arr = arr.astype(np.float32) / 255.0
-                    h, w = arr.shape[:2]
-                    if arr.ndim == 2:
-                        arr = np.repeat(arr[..., None], 3, axis=-1)
-                    batch[j, :h, :w] = arr
-                    vhw[j] = (h, w)
-                import jax
-
-                out = aliked_model.extract(
-                    self.params, jnp.asarray(batch), jnp.asarray(vhw),
-                    max_keypoints=self.max_keypoints,
-                    detection_threshold=self.detection_threshold,
-                    nms_radius=self.nms_radius,
-                    model_name=self.model_name,
-                    compute_dtype=str(self.conf.get(
-                        "compute_dtype",
-                        "bfloat16" if jax.default_backend() != "cpu" else "float32",
-                    )),
-                )
-                out = {k: np.asarray(v) for k, v in out.items()}
-                for j, i in enumerate(chunk):
-                    m = out["mask"][j]
-                    results[i] = {
-                        "keypoints": out["keypoints"][j][m],
-                        "scores": out["scores"][j][m],
-                        "descriptors": out["descriptors"][j][m],
-                    }
+            bsz = max(1, min(self.batch_size, self.pixel_budget // (ph * pw)))
+            start = 0
+            while start < len(idxs):
+                chunk = idxs[start : start + bsz]
+                try:
+                    self._run_chunk(
+                        chunk, prepped, (ph, pw), batch_dtype, results
+                    )
+                    start += len(chunk)
+                except Exception as e:
+                    if "RESOURCE_EXHAUSTED" not in str(e) and "exit code" not in str(e):
+                        raise
+                    if bsz == 1:
+                        raise
+                    bsz = max(1, bsz // 2)
+                    logger.warning(
+                        f"ALIKED extraction OOM at {ph}x{pw}; retrying with "
+                        f"batch {bsz}"
+                    )
         return results
+
+    def _run_chunk(self, chunk, prepped, phw, batch_dtype, results) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        ph, pw = phw
+        batch = np.zeros((len(chunk), ph, pw, 3), batch_dtype)
+        vhw = np.zeros((len(chunk), 2), np.int32)
+        for j, i in enumerate(chunk):
+            arr = prepped[i][0]
+            if batch_dtype == np.float32 and arr.dtype == np.uint8:
+                arr = arr.astype(np.float32) / 255.0
+            h, w = arr.shape[:2]
+            if arr.ndim == 2:
+                arr = np.repeat(arr[..., None], 3, axis=-1)
+            batch[j, :h, :w] = arr
+            vhw[j] = (h, w)
+        out = aliked_model.extract(
+            self.params, jnp.asarray(batch), jnp.asarray(vhw),
+            max_keypoints=self.max_keypoints,
+            detection_threshold=self.detection_threshold,
+            nms_radius=self.nms_radius,
+            model_name=self.model_name,
+            compute_dtype=str(self.conf.get(
+                "compute_dtype",
+                "bfloat16" if jax.default_backend() != "cpu" else "float32",
+            )),
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for j, i in enumerate(chunk):
+            m = out["mask"][j]
+            results[i] = {
+                "keypoints": out["keypoints"][j][m],
+                "scores": out["scores"][j][m],
+                "descriptors": out["descriptors"][j][m],
+            }
 
     def _extract(self, image: np.ndarray) -> FeaturesDict:
         if image.ndim == 2:

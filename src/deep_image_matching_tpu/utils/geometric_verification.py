@@ -34,8 +34,11 @@ _CV2_METHODS = {
     GeometricVerification.USAC_MAGSAC: cv2.USAC_MAGSAC,
     GeometricVerification.MAGSAC: cv2.USAC_MAGSAC,
 }
-# RHO is homography-only in OpenCV; treated as RANSAC for F estimation.
-_CV2_METHODS[GeometricVerification.RHO] = cv2.FM_RANSAC
+# RHO passes through to cv2.findFundamentalMat exactly as the reference
+# does (``utils/geometric_verification.py:22``); verified accepted by
+# OpenCV's dispatcher on this build. The RANSAC fallback chain still
+# catches a cv2.error on builds where it is homography-only.
+_CV2_METHODS[GeometricVerification.RHO] = cv2.RHO
 
 
 def geometric_verification(
