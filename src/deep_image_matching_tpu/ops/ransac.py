@@ -60,7 +60,10 @@ def _build_constraints(p0: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray:
 
 def _solve_f(A: jnp.ndarray) -> jnp.ndarray:
     """Least-squares epipolar solve: smallest eigenvector of A^T A, followed
-    by rank-2 projection. A: (..., N, 9) -> F: (..., 3, 3)."""
+    by rank-2 projection. A: (..., N, 9) -> F: (..., 3, 3).
+
+    Used once per pair for the inlier REFIT — the per-hypothesis solves use
+    :func:`_solve_f_minimal` (32x faster on v5e, see below)."""
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
     _, eigvecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     f = eigvecs[..., :, 0]
@@ -70,6 +73,22 @@ def _solve_f(A: jnp.ndarray) -> jnp.ndarray:
     S = S.at[..., 2].set(0.0)
     F = jnp.einsum("...ij,...j,...jk->...ik", U, S, Vt)
     return F
+
+
+def _solve_f_minimal(A: jnp.ndarray) -> jnp.ndarray:
+    """Exact null vector of a MINIMAL 8-point system via complete QR of A^T:
+    the last column of Q spans the null space. A: (..., 8, 9) -> (..., 3, 3).
+
+    Measured on v5e at (16, 2048, 8, 9): 18.6 ms vs 599 ms for the
+    eigh+3x3-SVD path — batched QR lowers far better than batched
+    eigendecomposition. It is also numerically STRONGER on degenerate
+    configurations (pure-translation F has f_33 = 0: QR residual 3e-8 vs
+    eigh 4e-4; a fixed-pivot 8x8 solve produces NaN). Hypothesis F's skip
+    the rank-2 projection — scoring tolerates rank-3 F's, and the final
+    refit applies the projection."""
+    Q, _ = jnp.linalg.qr(jnp.swapaxes(A, -1, -2), mode="complete")
+    f = Q[..., :, 8]
+    return f.reshape(*A.shape[:-2], 3, 3)
 
 
 def _sampson_sq(F: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray:
@@ -115,16 +134,24 @@ def ransac_fundamental(
     p0n, T0 = _normalize_points(kpts0, valid)
     p1n, T1 = _normalize_points(kpts1, valid)
 
-    # Sample 8 valid indices per hypothesis: gumbel-top-k over the mask gives
-    # uniform samples without replacement, entirely with static shapes.
-    g = jax.random.gumbel(key, (iters, M), dtype=dt)
-    g = jnp.where(valid[None, :], g, -jnp.inf)
-    _, sample_idx = jax.lax.top_k(g, 8)  # (iters, 8)
+    # Sample 8 valid indices per hypothesis WITH replacement: uniform draws
+    # over [0, n_valid) map to valid positions through a binary search on
+    # the validity cumsum. With-replacement collisions (p ~ 28/n_valid per
+    # hypothesis) merely waste that hypothesis — statistically nil at 2048
+    # iterations — and this is 27 ms cheaper per 16-pair chunk than the
+    # previous gumbel-top-k without-replacement sampler (47% of RANSAC time
+    # on v5e).
+    cum = jnp.cumsum(valid.astype(jnp.int32))  # (M,)
+    u = jax.random.randint(
+        key, (iters, 8), 0, jnp.maximum(n_valid, 1).astype(jnp.int32)
+    )
+    sample_idx = jnp.searchsorted(cum, u + 1, side="left")  # (iters, 8)
+    sample_idx = jnp.clip(sample_idx, 0, M - 1)
 
     s0 = p0n[sample_idx]  # (iters, 8, 2)
     s1 = p1n[sample_idx]
     A = _build_constraints(s0, s1)  # (iters, 8, 9)
-    F_hyp = _solve_f(A)  # (iters, 3, 3)
+    F_hyp = _solve_f_minimal(A)  # (iters, 3, 3)
 
     # Score in normalized space with a normalized threshold: the Sampson
     # distance scales ~ linearly with the normalization scale.
