@@ -582,7 +582,18 @@ def forward_impl(
             )
             return (d0, d1), None
 
-        (desc0, desc1), _ = jax.lax.scan(body, (desc0, desc1), layers)
+        if layout == "unrolled":
+            # python-unrolled layer loop: same math as the scan, but XLA
+            # sees 9 inlined layers (longer compile, no per-iteration
+            # carry/weight-slice choreography) — used to measure scan
+            # overhead on the bench path
+            carry = (desc0, desc1)
+            for i in range(n_layers):
+                layer = jax.tree.map(lambda x: x[i], layers)
+                carry, _ = body(carry, layer)
+            desc0, desc1 = carry
+        else:
+            (desc0, desc1), _ = jax.lax.scan(body, (desc0, desc1), layers)
         last = jax.tree.map(lambda x: x[-1], layers)
         layers_run = jnp.asarray(n_layers, jnp.int32)
 

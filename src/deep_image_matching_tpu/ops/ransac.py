@@ -104,7 +104,151 @@ def _sampson_sq(F: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray
     return num / jnp.maximum(den, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+def _prep_pair(kpts0, kpts1, valid, key, threshold, iters):
+    """Per-pair hypothesis setup: Hartley normalization, valid-index
+    compaction, minimal-sample gather, constraint build. Returns the
+    constraint system in PLANE layout (9, 8, iters) — coefficient c of
+    sample row r per hypothesis — which is the lane-friendly layout the
+    Pallas null-space kernel consumes directly (a post-hoc transpose of a
+    minormost-9 stack costs >100 ms on v5e, see ops/pallas_nullspace.py)."""
+    M = kpts0.shape[0]
+    n_valid = valid.sum()
+    p0n, T0 = _normalize_points(kpts0, valid)
+    p1n, T1 = _normalize_points(kpts1, valid)
+
+    # Sample 8 valid indices per hypothesis WITH replacement: uniform draws
+    # over [0, n_valid) map to valid positions through a compaction table —
+    # one cumsum + scatter builds ``compact`` with the valid indices packed
+    # to the front, then the draws are a plain gather. (An earlier
+    # ``searchsorted`` on the validity cumsum lowered to an 11-step binary
+    # search per draw and was 50% of total RANSAC time on v5e; the earlier
+    # still, gumbel-top-k without-replacement sampler was worse again.
+    # With-replacement collisions, p ~ 28/n_valid per hypothesis, merely
+    # waste that hypothesis — statistically nil at 2048 iterations.)
+    cum = jnp.cumsum(valid.astype(jnp.int32))  # (M,)
+    compact = jnp.zeros((M,), jnp.int32)
+    compact = compact.at[jnp.where(valid, cum - 1, M)].set(
+        jnp.arange(M, dtype=jnp.int32), mode="drop"
+    )
+    u = jax.random.randint(
+        key, (8, iters), 0, jnp.maximum(n_valid, 1).astype(jnp.int32)
+    )
+    sample_idx = compact[u]  # (8, iters): row-major planes, lanes = hyps
+
+    s0 = p0n[sample_idx]  # (8, iters, 2)
+    s1 = p1n[sample_idx]
+    x0, y0 = s0[..., 0], s0[..., 1]  # (8, iters)
+    x1, y1 = s1[..., 0], s1[..., 1]
+    A9 = jnp.stack(
+        [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0,
+         jnp.ones_like(x0)],
+        axis=0,
+    )  # (9, 8, iters)
+
+    # Score in normalized space with a normalized threshold: the Sampson
+    # distance scales ~ linearly with the normalization scale.
+    th_n = threshold * jnp.sqrt(T0[0, 0] * T1[0, 0])
+    return A9, p0n, p1n, T0, T1, th_n, n_valid
+
+
+def _score_planes(f9, p0n, p1n, valid, th_n):
+    """Inlier masks for ALL hypotheses from null-vector planes.
+
+    f9: (9, I) — F entries per hypothesis (row-major); p0n/p1n: (M, 2).
+    Returns inl (I, M) bool. Same Sampson-distance math as
+    :func:`_sampson_sq`, written against component planes so no
+    (I, 3, 3) or (I, M, 3) intermediates are materialized."""
+    x0, y0 = p0n[:, 0][None, :], p0n[:, 1][None, :]   # (1, M)
+    x1, y1 = p1n[:, 0][None, :], p1n[:, 1][None, :]
+    c = [f9[i][:, None] for i in range(9)]            # (I, 1) each
+    Fx0_0 = c[0] * x0 + c[1] * y0 + c[2]
+    Fx0_1 = c[3] * x0 + c[4] * y0 + c[5]
+    Fx0_2 = c[6] * x0 + c[7] * y0 + c[8]
+    Ftx1_0 = c[0] * x1 + c[3] * y1 + c[6]
+    Ftx1_1 = c[1] * x1 + c[4] * y1 + c[7]
+    num = (x1 * Fx0_0 + y1 * Fx0_1 + Fx0_2) ** 2
+    den = Fx0_0**2 + Fx0_1**2 + Ftx1_0**2 + Ftx1_1**2
+    inl = num < th_n**2 * jnp.maximum(den, 1e-12)
+    return inl & valid[None, :]
+
+
+def _finish_pair(f9, p0n, p1n, valid, T0, T1, th_n, n_valid):
+    """Score hypotheses, pick the winner, refit on its inliers,
+    denormalize. f9: (9, iters) null-vector planes."""
+    inl = _score_planes(f9, p0n, p1n, valid, th_n)  # (iters, M)
+    scores = inl.sum(axis=1)
+    best = jnp.argmax(scores)
+    best_inl = inl[best]
+    F_best_hyp = f9[:, best].reshape(3, 3)
+
+    # Refit on the winning inliers (weighted least squares, one step).
+    A_all = _build_constraints(p0n, p1n)  # (M, 9)
+    w = best_inl.astype(jnp.float32)[:, None]
+    F_refit = _solve_f(A_all * w)
+    err_refit = _sampson_sq(F_refit, p0n, p1n)
+    inl_refit = (err_refit < th_n**2) & valid
+    # keep the refit only if it didn't lose inliers
+    better = inl_refit.sum() >= best_inl.sum()
+    F_best = jnp.where(better, F_refit, F_best_hyp)
+    inliers = jnp.where(better, inl_refit, best_inl)
+
+    # Denormalize: F_px = T1^T F_n T0
+    F_px = T1.T @ F_best @ T0
+    F_px = F_px / jnp.where(jnp.abs(F_px[2, 2]) > 1e-12, F_px[2, 2], 1.0)
+    # Degenerate-pair guard
+    ok = n_valid >= 8
+    inliers = inliers & ok
+    return F_px, inliers, inliers.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "solve_impl"))
+def ransac_fundamental_batch(
+    kpts0: jnp.ndarray,  # (B, M, 2)
+    kpts1: jnp.ndarray,  # (B, M, 2)
+    mask: jnp.ndarray,   # (B, M)
+    key: jax.Array,
+    threshold: float = 4.0,
+    iters: int = 2048,
+    solve_impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Verify a whole pair batch in one program.
+
+    The per-pair stages (sampling, scoring, refit) are vmapped; the
+    minimal solves for ALL pairs' hypotheses run as one flat batch so the
+    lane-vectorized Pallas kernel (``ops/pallas_nullspace.py``) covers
+    them in a single launch. solve_impl: 'pallas' | 'qr' | 'auto'
+    (Pallas on TPU, batched-QR elsewhere).
+    """
+    B = kpts0.shape[0]
+    kpts0 = kpts0.astype(jnp.float32)
+    kpts1 = kpts1.astype(jnp.float32)
+    valid = mask.astype(bool)
+    keys = jax.random.split(key, B)
+    A9, p0n, p1n, T0, T1, th_n, n_valid = jax.vmap(
+        lambda a, b, v, k: _prep_pair(a, b, v, k, threshold, iters)
+    )(kpts0, kpts1, valid, keys)  # A9: (B, 9, 8, iters)
+
+    if solve_impl == "auto":
+        solve_impl = "pallas" if jax.default_backend() == "tpu" else "qr"
+    if solve_impl == "pallas":
+        from .pallas_nullspace import nullspace_planes
+
+        # merge the pair axis into the hypothesis planes (leading-dim
+        # moves only — the tiled (8, iters) minor layout stays put)
+        planes = jnp.transpose(A9, (1, 2, 0, 3)).reshape(9, 8, B * iters)
+        f = nullspace_planes(planes)                      # (9, B*iters)
+        f9 = jnp.transpose(f.reshape(9, B, iters), (1, 0, 2))  # (B, 9, I)
+    else:
+        A = jnp.transpose(A9, (0, 3, 2, 1))  # (B, iters, 8, 9)
+        F_hyp = _solve_f_minimal(A)          # (B, iters, 3, 3)
+        f9 = jnp.transpose(F_hyp.reshape(B, iters, 9), (0, 2, 1))
+
+    return jax.vmap(_finish_pair)(
+        f9, p0n, p1n, valid, T0, T1, th_n, n_valid
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "solve_impl"))
 def ransac_fundamental(
     kpts0: jnp.ndarray,
     kpts1: jnp.ndarray,
@@ -112,6 +256,7 @@ def ransac_fundamental(
     key: jax.Array,
     threshold: float = 4.0,
     iters: int = 2048,
+    solve_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-pair RANSAC with static shapes.
 
@@ -124,81 +269,11 @@ def ransac_fundamental(
 
     Returns: (F (3,3) float32, inliers (M,) bool, n_inliers ()).
     """
-    M = kpts0.shape[0]
-    dt = jnp.float32
-    kpts0 = kpts0.astype(dt)
-    kpts1 = kpts1.astype(dt)
-    valid = mask.astype(bool)
-    n_valid = valid.sum()
-
-    p0n, T0 = _normalize_points(kpts0, valid)
-    p1n, T1 = _normalize_points(kpts1, valid)
-
-    # Sample 8 valid indices per hypothesis WITH replacement: uniform draws
-    # over [0, n_valid) map to valid positions through a binary search on
-    # the validity cumsum. With-replacement collisions (p ~ 28/n_valid per
-    # hypothesis) merely waste that hypothesis — statistically nil at 2048
-    # iterations — and this is 27 ms cheaper per 16-pair chunk than the
-    # previous gumbel-top-k without-replacement sampler (47% of RANSAC time
-    # on v5e).
-    cum = jnp.cumsum(valid.astype(jnp.int32))  # (M,)
-    u = jax.random.randint(
-        key, (iters, 8), 0, jnp.maximum(n_valid, 1).astype(jnp.int32)
+    F, inl, n = ransac_fundamental_batch(
+        kpts0[None], kpts1[None], mask[None], key, threshold, iters,
+        solve_impl,
     )
-    sample_idx = jnp.searchsorted(cum, u + 1, side="left")  # (iters, 8)
-    sample_idx = jnp.clip(sample_idx, 0, M - 1)
-
-    s0 = p0n[sample_idx]  # (iters, 8, 2)
-    s1 = p1n[sample_idx]
-    A = _build_constraints(s0, s1)  # (iters, 8, 9)
-    F_hyp = _solve_f_minimal(A)  # (iters, 3, 3)
-
-    # Score in normalized space with a normalized threshold: the Sampson
-    # distance scales ~ linearly with the normalization scale.
-    scale0 = T0[0, 0]
-    scale1 = T1[0, 0]
-    th_n = threshold * jnp.sqrt(scale0 * scale1)
-    err = _sampson_sq(F_hyp, p0n, p1n)  # (iters, M)
-    inl = (err < th_n**2) & valid[None, :]
-    scores = inl.sum(axis=1)
-    best = jnp.argmax(scores)
-    best_inl = inl[best]
-
-    # Refit on the winning inliers (weighted least squares, one step).
-    A_all = _build_constraints(p0n, p1n)  # (M, 9)
-    w = best_inl.astype(dt)[:, None]
-    F_refit = _solve_f(A_all * w)
-    err_refit = _sampson_sq(F_refit, p0n, p1n)
-    inl_refit = (err_refit < th_n**2) & valid
-    # keep the refit only if it didn't lose inliers
-    better = inl_refit.sum() >= best_inl.sum()
-    F_best = jnp.where(better, F_refit, F_hyp[best])
-    inliers = jnp.where(better, inl_refit, best_inl)
-
-    # Denormalize: F_px = T1^T F_n T0
-    F_px = T1.T @ F_best @ T0
-    F_px = F_px / jnp.where(jnp.abs(F_px[2, 2]) > 1e-12, F_px[2, 2], 1.0)
-    # Degenerate-pair guard
-    ok = n_valid >= 8
-    inliers = inliers & ok
-    return F_px, inliers, inliers.sum()
-
-
-@functools.partial(jax.jit, static_argnames=("iters",))
-def ransac_fundamental_batch(
-    kpts0: jnp.ndarray,  # (B, M, 2)
-    kpts1: jnp.ndarray,  # (B, M, 2)
-    mask: jnp.ndarray,   # (B, M)
-    key: jax.Array,
-    threshold: float = 4.0,
-    iters: int = 2048,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Verify a whole pair batch in one program (vmapped single-pair RANSAC)."""
-    B = kpts0.shape[0]
-    keys = jax.random.split(key, B)
-    return jax.vmap(
-        lambda a, b, m, k: ransac_fundamental(a, b, m, k, threshold, iters)
-    )(kpts0, kpts1, mask, keys)
+    return F[0], inl[0], n[0]
 
 
 def ransac_fundamental_np(
