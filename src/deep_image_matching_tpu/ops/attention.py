@@ -90,26 +90,45 @@ def fused_attention(
     if impl != "flash":
         return xla_attention(q, k, v, kv_mask, sm_scale)
     fa = _flash_mod()
-    seg = None
-    if q_mask is not None or kv_mask is not None:
-        B, _, Tq, _ = q.shape
-        Tk = k.shape[2]
-        q_seg = (
-            q_mask.astype(jnp.int32)
-            if q_mask is not None
-            else jnp.ones((B, Tq), jnp.int32)
+    blocks = _block_sizes(fa, q.shape[2], k.shape[2])
+
+    def _unmasked(q, k, v):
+        return fa.flash_attention(
+            q, k, v, segment_ids=None, causal=False, sm_scale=sm_scale,
+            block_sizes=blocks,
         )
-        kv_seg = (
-            kv_mask.astype(jnp.int32)
-            if kv_mask is not None
-            else jnp.ones((B, Tk), jnp.int32)
-        )
-        seg = fa.SegmentIds(q=q_seg, kv=kv_seg)
-    out = fa.flash_attention(
-        q, k, v,
-        segment_ids=seg,
-        causal=False,
-        sm_scale=sm_scale,
-        block_sizes=_block_sizes(fa, q.shape[2], k.shape[2]),
+
+    if q_mask is None and kv_mask is None:
+        return _unmasked(q, k, v).astype(v.dtype)
+
+    B, _, Tq, _ = q.shape
+    Tk = k.shape[2]
+    q_seg = (
+        q_mask.astype(jnp.int32)
+        if q_mask is not None
+        else jnp.ones((B, Tq), jnp.int32)
     )
+    kv_seg = (
+        kv_mask.astype(jnp.int32)
+        if kv_mask is not None
+        else jnp.ones((B, Tk), jnp.int32)
+    )
+
+    def _masked(q, k, v):
+        return fa.flash_attention(
+            q, k, v,
+            segment_ids=fa.SegmentIds(q=q_seg, kv=kv_seg),
+            causal=False,
+            sm_scale=sm_scale,
+            block_sizes=blocks,
+        )
+
+    # The stock kernel's segment-id path streams both id arrays and runs
+    # per-tile compares — measured 2.3x slower than the unmasked kernel at
+    # K=2048/d=64 on v5e (0.614 vs 0.267 ms, 28 vs 64 TFLOP/s). Keypoint
+    # batches are usually full (top-k padding only triggers when fewer than
+    # max_keypoints survive detection), so branch at run time: a fully valid
+    # batch takes the unmasked kernel, identical math either way.
+    full = jnp.all(q_seg == 1) & jnp.all(kv_seg == 1)
+    out = jax.lax.cond(full, _unmasked, _masked, q, k, v)
     return out.astype(v.dtype)
