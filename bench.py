@@ -124,10 +124,12 @@ def bench_pipeline(jax, jnp, rtt, on_tpu):
     from deep_image_matching_tpu.ops.ransac import ransac_fundamental_batch
 
     N_IMG, H, W, K, D = 16, 1024, 1024, 2048, 256
-    EXTRACT_B, MATCH_B = 8, 16
+    import os
+    EXTRACT_B = int(os.environ.get("DIM_BENCH_EXTRACT_B", "8"))
+    MATCH_B = int(os.environ.get("DIM_BENCH_MATCH_B", "8"))
     pairs = [(i, j) for i in range(N_IMG) for j in range(i + 1, N_IMG)]
     P = len(pairs)  # 120
-    attn = "flash" if on_tpu else "xla"
+    attn = os.environ.get("DIM_BENCH_ATTN", "flash") if on_tpu else "xla"
     assign = "fused" if on_tpu else "dense"
     cdt = "bfloat16" if on_tpu else "float32"
 
