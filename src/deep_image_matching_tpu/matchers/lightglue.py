@@ -61,6 +61,11 @@ class LightGlueMatcher(BatchedMatcher):
     def _match_batch_arrays(
         self, batch0: Dict[str, np.ndarray], batch1: Dict[str, np.ndarray]
     ) -> Tuple[np.ndarray, np.ndarray]:
+        # masks are host numpy here — if every slot is a real keypoint (the
+        # common case: detection filled the top-k capacity) promise it
+        # statically so attention skips segment-id masking and its runtime
+        # all-full cond (ops/attention.py). At most 2 compiled variants.
+        full = bool(np.all(batch0["mask"]) and np.all(batch1["mask"]))
         out = forward(
             self.params,
             jnp.asarray(batch0["keypoints"]), jnp.asarray(batch1["keypoints"]),
@@ -77,6 +82,7 @@ class LightGlueMatcher(BatchedMatcher):
                 "assignment_impl", default_assignment_impl()
             ),
             ffn_impl=self.tpu.get("ffn_impl", "auto"),
+            assume_full_masks=full,
         )
         # returned lazily (jax arrays): the caller overlaps host work with
         # the async device execution and materializes at finish time

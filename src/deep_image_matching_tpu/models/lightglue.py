@@ -12,13 +12,15 @@ flow):
   layer body regardless of depth; pair batches (B, K, D) map the attention
   matmuls straight onto the MXU in bf16.
 - Early exit (``depth_confidence``, reference ``lightglue.py:593-604``) is a
-  per-pair data-dependent break; in a batched program it is implemented as
-  fixed-depth execution (full fidelity superset). Shallower compiled variants
-  (``n_layers``=5/7) cover the speed/quality trade-off instead.
+  per-pair data-dependent break; here it is a *batch-level* exit: a
+  ``lax.while_loop`` over stacked layers stops as soon as every pair in the
+  batch clears the confidence threshold (see ``forward``'s adaptive path and
+  ``tests/test_adaptive_depth.py``). This is the default; a fixed-depth
+  ``lax.scan`` path remains for fidelity runs (``depth_confidence<=0``).
 - Width pruning (``width_confidence``, ``lightglue.py:501-516``) is a gather
   that saves FLOPs on GPU but breaks static shapes; here pruning is expressed
-  as attention masking (optional), which preserves semantics but not FLOPs —
-  off by default on TPU where the dense batched matmul is faster.
+  as attention masking (matchability-based, applied when
+  ``width_confidence>0``), which preserves semantics but not FLOPs.
 - All shapes static: (B, K) keypoint capacity with validity masks; invalid
   slots are masked out of attention, softmax normalizations, and the final
   assignment.
@@ -256,7 +258,8 @@ def _merge(x):
     return x.transpose(0, 2, 1, 3).reshape(B, N, H * hd)
 
 
-def _self_block(x, enc, mask, p, num_heads, attn_impl="xla", ffn_impl="xla"):
+def _self_block(x, enc, mask, p, num_heads, attn_impl="xla", ffn_impl="xla",
+                full=False):
     qkv = _linear(x, p["qkv"])  # (B, N, 3D)
     B, N, _ = qkv.shape
     D = x.shape[-1]
@@ -268,12 +271,16 @@ def _self_block(x, enc, mask, p, num_heads, attn_impl="xla", ffn_impl="xla"):
     k = _apply_rotary(k, cos, sin)
     # "bidir" only changes the cross block; self attention stays flash
     self_impl = "flash" if attn_impl == "bidir" else attn_impl
-    ctx = _attention(q, k, v, mask, q_mask=mask, impl=self_impl)
+    # full=True: caller statically guarantees all-ones masks — skip the
+    # segment-id machinery (and its runtime all-reduce cond) entirely
+    am = None if full else mask
+    ctx = _attention(q, k, v, am, q_mask=am, impl=self_impl)
     msg = _linear(_merge(ctx), p["out"])
     return _ffn(x, msg, p, ffn_impl)
 
 
-def _cross_block(x0, x1, mask0, mask1, p, num_heads, attn_impl="xla", ffn_impl="xla"):
+def _cross_block(x0, x1, mask0, mask1, p, num_heads, attn_impl="xla", ffn_impl="xla",
+                 full=False):
     qk0 = _heads(_linear(x0, p["qk"]), num_heads)
     qk1 = _heads(_linear(x1, p["qk"]), num_heads)
     v0 = _heads(_linear(x0, p["v"]), num_heads)
@@ -289,16 +296,24 @@ def _cross_block(x0, x1, mask0, mask1, p, num_heads, attn_impl="xla", ffn_impl="
     elif attn_impl == "flash":
         # the fused kernel never materializes the similarity matrix;
         # the shared QK^T is recomputed per direction (FLOPs for HBM)
-        m0 = _attention(qk0, qk1, v1, mask1, q_mask=mask0, impl=attn_impl)
-        m1 = _attention(qk1, qk0, v0, mask0, q_mask=mask1, impl=attn_impl)
+        am0 = None if full else mask0
+        am1 = None if full else mask1
+        m0 = _attention(qk0, qk1, v1, am1, q_mask=am0, impl=attn_impl)
+        m1 = _attention(qk1, qk0, v0, am0, q_mask=am1, impl=attn_impl)
     else:
         # one similarity matrix, softmaxed both ways (shared-score cross
         # attention, exact reference semantics)
         sim = jnp.einsum(
             "bhid,bhjd->bhij", qk0, qk1, preferred_element_type=jnp.float32
         ) * scale
-        sim01 = jnp.where(mask1[:, None, None, :], sim, -1e30)
-        sim10 = jnp.where(mask0[:, None, None, :], sim.transpose(0, 1, 3, 2), -1e30)
+        if full:
+            sim01 = sim
+            sim10 = sim.transpose(0, 1, 3, 2)
+        else:
+            sim01 = jnp.where(mask1[:, None, None, :], sim, -1e30)
+            sim10 = jnp.where(
+                mask0[:, None, None, :], sim.transpose(0, 1, 3, 2), -1e30
+            )
         a01 = jax.nn.softmax(sim01, -1).astype(v1.dtype)
         a10 = jax.nn.softmax(sim10, -1).astype(v0.dtype)
         m0 = jnp.einsum("bhij,bhjd->bhid", a01, v1, preferred_element_type=jnp.float32)
@@ -380,6 +395,7 @@ def forward_impl(
     assignment_impl: str = "dense",
     ffn_impl: str = "auto",
     layout: str = "split",
+    assume_full_masks: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Batched LightGlue matching. ``depth`` truncates the scan (compiled
     shallow variants replace per-pair early exit). ``depth_confidence > 0``
@@ -398,7 +414,16 @@ def forward_impl(
     ``assignment_impl='fused'`` computes the dual-softmax match filtering
     via streaming Pallas kernels (``ops/pallas_assignment.py``) that never
     materialize the (B, M, N) score matrix — required headroom for
-    K >= 8192 where the dense scores alone are multi-GB."""
+    K >= 8192 where the dense scores alone are multi-GB.
+
+    ``assume_full_masks=True`` is a static promise by the caller that both
+    masks are all-ones (every slot holds a real keypoint — the common case
+    when detection fills the top-k capacity). Attention then skips segment-id
+    masking AND the runtime all-full cond (which costs a per-call all-reduce
+    and, with width pruning, rarely fires after early layers). A false
+    promise lets padded slots leak into attention and corrupts descriptors —
+    callers must only set it when the masks really are all-ones. Ignored on
+    the width-pruning path, whose masks change during the layer loop."""
     mask0 = mask0.astype(bool)
     mask1 = mask1.astype(bool)
     cdt = jnp.dtype(compute_dtype)
@@ -457,11 +482,13 @@ def forward_impl(
 
         def body(carry, layer):
             X = _self_block(carry, ENC, MASK, layer["self"], num_heads,
-                            attn_impl, ffn_impl)
+                            attn_impl, ffn_impl, full=assume_full_masks)
             p = layer["cross"]
             qk = _heads(_linear(X, p["qk"]), num_heads)
             v = _heads(_linear(X, p["v"]), num_heads)
-            m = _attention(qk, qk[perm], v[perm], PMASK, q_mask=MASK,
+            am_k = None if assume_full_masks else PMASK
+            am_q = None if assume_full_masks else MASK
+            m = _attention(qk, qk[perm], v[perm], am_k, q_mask=am_q,
                            impl="flash" if attn_impl == "bidir" else attn_impl)
             msg = _linear(_merge(m.astype(v.dtype)), p["out"])
             return _ffn(X, msg, p, ffn_impl), None
@@ -490,6 +517,9 @@ def forward_impl(
         # (lightglue.py:608-612, 1536 for flash); applied per pair here.
         do_prune = width_confidence is not None and width_confidence > 0
         do_stop = depth_confidence is not None and depth_confidence > 0
+        # pruning mutates the masks inside the loop — the full-mask promise
+        # only holds on the depth-only adaptive path
+        full_adaptive = assume_full_masks and not do_prune
         # reference check_if_stop divides by the ORIGINAL m+n (not the
         # post-pruning count) — pruned points implicitly count as confident
         n_pts_orig = (jnp.sum(mask0, 1) + jnp.sum(mask1, 1)).astype(jnp.float32)
@@ -511,12 +541,12 @@ def forward_impl(
                 layers,
             )
             d0 = _self_block(d0, enc0, m0_, layer["self"], num_heads,
-                             attn_impl, ffn_impl)
+                             attn_impl, ffn_impl, full=full_adaptive)
             d1 = _self_block(d1, enc1, m1_, layer["self"], num_heads,
-                             attn_impl, ffn_impl)
+                             attn_impl, ffn_impl, full=full_adaptive)
             d0, d1 = _cross_block(
                 d0, d1, m0_, m1_, layer["cross"], num_heads, attn_impl,
-                ffn_impl
+                ffn_impl, full=full_adaptive
             )
             # the last layer has no (real) confidence head — loop bound exits
             th = _conf_threshold(i)
@@ -573,12 +603,12 @@ def forward_impl(
         def body(carry, layer):
             d0, d1 = carry
             d0 = _self_block(d0, enc0, mask0, layer["self"], num_heads,
-                             attn_impl, ffn_impl)
+                             attn_impl, ffn_impl, full=assume_full_masks)
             d1 = _self_block(d1, enc1, mask1, layer["self"], num_heads,
-                             attn_impl, ffn_impl)
+                             attn_impl, ffn_impl, full=assume_full_masks)
             d0, d1 = _cross_block(
                 d0, d1, mask0, mask1, layer["cross"], num_heads, attn_impl,
-                ffn_impl
+                ffn_impl, full=assume_full_masks
             )
             return (d0, d1), None
 
@@ -628,6 +658,7 @@ forward = jax.jit(
         "num_heads", "filter_threshold", "depth", "depth_confidence",
         "width_confidence", "pruning_min_kpts",
         "compute_dtype", "attn_impl", "assignment_impl", "ffn_impl", "layout",
+        "assume_full_masks",
     ),
 )
 

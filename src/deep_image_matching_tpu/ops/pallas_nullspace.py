@@ -79,7 +79,10 @@ def _nullspace_kernel(a_ref, f_ref):
         # nrm2 - x0^2 + v0^2 cancels catastrophically when the pivot
         # dominates its column and breaks the reflector's orthogonality
         vtv = tail2 + v[k] * v[k]
-        beta = jnp.where(nrm2 > neg_tol, 2.0 / vtv, 0.0)
+        # Guard the denominator: for all-zero padded lanes vtv==0 and the
+        # untaken where-branch would be inf (NaN gradients if this kernel is
+        # ever differentiated). neg_tol keeps the taken branch unchanged.
+        beta = jnp.where(nrm2 > neg_tol, 2.0 / jnp.maximum(vtv, neg_tol), 0.0)
         for j in range(k + 1, 8):
             w = v[k] * X[k][j]
             for r in range(k + 1, 9):
