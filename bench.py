@@ -126,7 +126,9 @@ def bench_pipeline(jax, jnp, rtt, on_tpu):
     N_IMG, H, W, K, D = 16, 1024, 1024, 2048, 256
     import os
     EXTRACT_B = int(os.environ.get("DIM_BENCH_EXTRACT_B", "8"))
-    MATCH_B = int(os.environ.get("DIM_BENCH_MATCH_B", "8"))
+    # 16 = the documented production operating point (config.py
+    # tpu.match_batch_size, docs/architecture.md); override to sweep
+    MATCH_B = int(os.environ.get("DIM_BENCH_MATCH_B", "16"))
     pairs = [(i, j) for i in range(N_IMG) for j in range(i + 1, N_IMG)]
     P = len(pairs)  # 120
     attn = os.environ.get("DIM_BENCH_ATTN", "flash") if on_tpu else "xla"
@@ -234,6 +236,100 @@ def bench_pipeline(jax, jnp, rtt, on_tpu):
     return P / total, P / (total + t_download)
 
 
+def bench_default_path(jax, jnp, rtt, on_tpu):
+    """The REAL entrypoint: ``ImageMatcher.run()`` with the default
+    superpoint+lightglue config on a real image folder (16 x 1024px crops of
+    sacre_coeur), bruteforce pairs = 120. Measures what
+    ``python -m deep_image_matching_tpu`` defaults actually deliver —
+    orchestration, padded feature store, batched matching, geometric
+    verification (device RANSAC by default on TPU), gating, and h5 writes all
+    included. Reference hot loop parity: ``image_matching.py:467-487``.
+
+    Returns (pairs/s over extract+match stages, pairs/s match stage only).
+    """
+    import os
+    import shutil
+
+    os.environ.setdefault("DIM_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    import cv2
+
+    import deep_image_matching_tpu as dim
+
+    N_IMG = int(os.environ.get("DIM_BENCH_DEFAULT_N_IMG", "16"))
+    shm = Path("/dev/shm" if Path("/dev/shm").is_dir() else "/tmp")
+    proj = shm / "dim_tpu_bench_default"
+    shutil.rmtree(proj, ignore_errors=True)
+    img_dir = proj / "images"
+    img_dir.mkdir(parents=True)
+
+    # Real-photo texture: mosaic sacre_coeur_A and take shifted 1024px crops
+    src_candidates = [
+        Path("/root/reference/assets/example_sacre_coeur/images/sacre_coeur_A.jpg"),
+    ]
+    src = next((p for p in src_candidates if p.exists()), None)
+    if src is not None:
+        base = cv2.imread(str(src))
+        reps = (1440 // base.shape[0] + 2, 1440 // base.shape[1] + 2, 1)
+        mosaic = np.tile(base, reps)
+    else:  # no reference checkout: smooth random texture
+        rng = np.random.default_rng(0)
+        noise = rng.uniform(0, 255, (1600, 1600, 3)).astype(np.float32)
+        mosaic = cv2.GaussianBlur(noise, (0, 0), 3).astype(np.uint8)
+    H = W = 1024
+    for i in range(N_IMG):
+        dy, dx = (i * 37) % (mosaic.shape[0] - H), (i * 53) % (mosaic.shape[1] - W)
+        cv2.imwrite(str(img_dir / f"img_{i:03d}.jpg"),
+                    mosaic[dy : dy + H, dx : dx + W])
+
+    P = N_IMG * (N_IMG - 1) // 2
+
+    def one_run(tag):
+        out = proj / f"out_{tag}"
+        config = dim.Config(
+            args={
+                "dir": str(proj),
+                "outs": str(out),
+                "pipeline": "superpoint+lightglue",
+                "strategy": "bruteforce",
+                "skip_reconstruction": True,
+                "force": True,
+            }
+        )
+        matcher = dim.ImageMatcher(config)
+        t0 = time.time()
+        pairs = matcher.generate_pairs()
+        t_pairs = time.time() - t0
+        t0 = time.time()
+        fpath = matcher.extract_features()
+        t_extract = time.time() - t0
+        t0 = time.time()
+        matcher.match_pairs(pairs, fpath)
+        t_match = time.time() - t0
+        return t_pairs, t_extract, t_match
+
+    t0 = time.time()
+    one_run("warm")  # compile warmup (cached jitted programs persist in-proc)
+    log(f"default-path warmup (incl. compiles): {time.time() - t0:.1f}s")
+
+    best_total, best_match = float("inf"), float("inf")
+    for r in range(2):
+        t_pairs, t_extract, t_match = one_run(f"t{r}")
+        log(
+            f"default-path run {r}: pairs={t_pairs:.2f}s "
+            f"extract={t_extract:.2f}s match={t_match:.2f}s "
+            f"-> {P / (t_extract + t_match):.1f} pairs/s"
+        )
+        best_total = min(best_total, t_extract + t_match)
+        best_match = min(best_match, t_match)
+    shutil.rmtree(proj, ignore_errors=True)
+    log(
+        f"default path (ImageMatcher.run, {N_IMG} imgs / {P} pairs): "
+        f"{P / best_total:.1f} pairs/s total, "
+        f"{P / best_match:.1f} pairs/s match stage"
+    )
+    return P / best_total, P / best_match
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -248,6 +344,7 @@ def main():
 
     kernel_pps, tflops, mfu = bench_kernel(jax, jnp, lg, rtt, on_tpu)
     pipe_pps, pipe_pps_incl_download = bench_pipeline(jax, jnp, rtt, on_tpu)
+    default_pps, default_match_pps = bench_default_path(jax, jnp, rtt, on_tpu)
 
     print(
         json.dumps(
@@ -264,6 +361,10 @@ def main():
                 "pipeline_pairs_per_s": round(pipe_pps, 2),
                 "pipeline_incl_tunnel_download": round(
                     pipe_pps_incl_download, 2
+                ),
+                "default_path_pairs_per_s": round(default_pps, 2),
+                "default_path_match_stage_pairs_per_s": round(
+                    default_match_pps, 2
                 ),
                 "lightglue_tflops": round(tflops, 1) if tflops else None,
                 "lightglue_mfu_pct": round(mfu * 100, 1) if mfu else None,

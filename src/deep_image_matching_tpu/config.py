@@ -91,9 +91,16 @@ conf_general: Dict[str, Any] = {
         "kpt_pad_multiple": 128,
         # 1-D data-parallel mesh axis name; size = len(jax.devices()) unless set
         "mesh_devices": None,
-        # run geometric verification on device (batched 8-point RANSAC)
-        "device_ransac": False,
+        # geometric verification placement: "auto" (default) runs the
+        # RANSAC-family methods (MAGSAC/RANSAC/JAX_RANSAC) as the batched
+        # on-device RANSAC whenever an accelerator is active — the
+        # bench-verified fast path; host OpenCV stays the fidelity mode
+        # (any USAC_*/PYDEGENSAC/LMEDS/RHO choice, or device_ransac: false)
+        "device_ransac": "auto",
         "ransac_iters": 2048,
+        # host-GV thread pool width (0 = cpu_count); the C++ solvers
+        # release the GIL, so pairs verify concurrently
+        "gv_workers": 0,
         # numerics for the matching transformer
         "dtype": "bfloat16",
     },

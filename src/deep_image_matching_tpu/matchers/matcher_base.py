@@ -167,6 +167,68 @@ class MatcherBase:
         self._save_verified(matches_path, img0, img1, verified)
         return verified
 
+    def _use_device_gv(self) -> bool:
+        """Whether geometric verification runs as the batched on-device
+        RANSAC (``ops/ransac.py``).
+
+        ``tpu.device_ransac: "auto"`` (the default) routes the RANSAC-family
+        methods (MAGSAC / RANSAC / JAX_RANSAC) to the device kernel whenever
+        an accelerator backend is active, so the production default runs the
+        bench-verified fast path. Host OpenCV/pydegensac remain the fidelity
+        mode: pick any explicitly host-only method (PYDEGENSAC, LMEDS, RHO,
+        USAC_*) or set ``device_ransac: false`` to keep GV on host."""
+        dr = self.tpu.get("device_ransac", "auto")
+        if isinstance(dr, str) and dr.lower() == "auto":
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return False
+            return self.gv_method in (
+                GeometricVerification.JAX_RANSAC,
+                GeometricVerification.MAGSAC,
+                GeometricVerification.RANSAC,
+            )
+        return bool(dr) and (
+            self.gv_method is GeometricVerification.JAX_RANSAC
+            or bool(self.tpu.get("force_device_ransac", False))
+        )
+
+    def _host_gv_batch(self, jobs):
+        """Run host geometric verification for a list of
+        ``(matches (M,2) int, kpts0, kpts1)`` jobs; returns one inlier mask
+        per job (None where < 8 matches).
+
+        Host GV (OpenCV USAC / pydegensac) is embarrassingly parallel per
+        pair and the C++ solvers release the GIL, so a thread pool overlaps
+        them across cores — the reference runs them serially in its per-pair
+        loop (``image_matching.py:467-487``). ``tpu.gv_workers`` overrides
+        the pool width (0 = cpu_count)."""
+        import os
+
+        threshold = self.gv_threshold * GV_QUALITY_SCALES[self.quality]
+
+        def one(job):
+            m, k0, k1 = job
+            if len(m) < 8:
+                return None
+            _, mask = geometric_verification(
+                kpts0=k0[m[:, 0]],
+                kpts1=k1[m[:, 1]],
+                method=self.gv_method,
+                threshold=threshold,
+                confidence=self.gv_confidence,
+            )
+            return mask
+
+        workers = int(self.tpu.get("gv_workers", 0)) or (os.cpu_count() or 1)
+        workers = min(workers, len(jobs))
+        if workers <= 1:
+            return [one(j) for j in jobs]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            return list(ex.map(one, jobs))
+
 
 class BatchedMatcher(MatcherBase):
     """Pads features to a fixed capacity and matches pairs in device batches.
@@ -189,10 +251,7 @@ class BatchedMatcher(MatcherBase):
         if tile_mode is not TileSelection.NONE and store.has_tiles:
             return self._match_all_tiled(pairs, store, matches_path, tile_mode)
         bsz = int(self.tpu.get("match_batch_size", 32))
-        use_device_gv = bool(self.tpu.get("device_ransac", False)) and (
-            self.gv_method in (GeometricVerification.JAX_RANSAC,)
-            or self.tpu.get("force_device_ransac", False)
-        )
+        use_device_gv = self._use_device_gv()
         results: Dict[Tuple[str, str], int] = {}
         # software pipelining: JAX dispatch is async, so issue chunk N+1's
         # device program before materializing + verifying + writing chunk N
@@ -361,6 +420,7 @@ class BatchedMatcher(MatcherBase):
         else:
             inl = None
 
+        prepared = []
         for b, (img0, img1) in enumerate(chunk):
             sel = valid[b]
             pair_matches = np.stack(
@@ -371,10 +431,25 @@ class BatchedMatcher(MatcherBase):
             n1 = store.counts[idx1[b]]
             keep = (pair_matches[:, 0] < n0) & (pair_matches[:, 1] < n1)
             pair_matches = pair_matches[keep]
+            mask = inl[b][sel][keep] if inl is not None else None
+            prepared.append((b, img0, img1, pair_matches, mask))
+
+        if inl is None:
+            # host-GV mode: run the per-pair C++ solvers across a thread
+            # pool before the (single-writer) h5 loop
+            masks = self._host_gv_batch(
+                [
+                    (pm, store.keypoints_of(idx0[b]), store.keypoints_of(idx1[b]))
+                    for b, _, _, pm, _ in prepared
+                ]
+            )
+            prepared = [
+                (b, i0, i1, pm, mk)
+                for (b, i0, i1, pm, _), mk in zip(prepared, masks)
+            ]
+
+        for b, img0, img1, pair_matches, mask in prepared:
             self._save_raw(matches_path, img0, img1, pair_matches)
-            mask = None
-            if inl is not None:
-                mask = inl[b][sel][keep]
             verified = self._verify_and_save(
                 matches_path, img0, img1, pair_matches,
                 store.keypoints_of(idx0[b]), store.keypoints_of(idx1[b]),
