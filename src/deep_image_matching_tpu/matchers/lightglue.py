@@ -61,11 +61,19 @@ class LightGlueMatcher(BatchedMatcher):
     def _match_batch_arrays(
         self, batch0: Dict[str, np.ndarray], batch1: Dict[str, np.ndarray]
     ) -> Tuple[np.ndarray, np.ndarray]:
-        # masks are host numpy here — if every slot is a real keypoint (the
-        # common case: detection filled the top-k capacity) promise it
-        # statically so attention skips segment-id masking and its runtime
-        # all-full cond (ops/attention.py). At most 2 compiled variants.
-        full = bool(np.all(batch0["mask"]) and np.all(batch1["mask"]))
+        # if every slot is a real keypoint (the common case: detection filled
+        # the top-k capacity) promise it statically so attention skips
+        # segment-id masking and its runtime all-full cond (ops/attention.py).
+        # At most 2 compiled variants. The store passes the hint computed
+        # from host-side counts ("_full"); falling back to np.all on the mask
+        # would force a blocking device->host sync when inputs are
+        # HBM-resident gathers.
+        full = batch0.get("_full")
+        if full is None:
+            full = bool(np.all(np.asarray(batch0["mask"]))
+                        and np.all(np.asarray(batch1["mask"])))
+        else:
+            full = bool(full and batch1.get("_full"))
         out = forward(
             self.params,
             jnp.asarray(batch0["keypoints"]), jnp.asarray(batch1["keypoints"]),

@@ -265,7 +265,7 @@ class BatchedMatcher(MatcherBase):
                 for start in range(0, len(pairs), bsz):
                     chunk = pairs[start : start + bsz]
                     try:
-                        disp = self._dispatch_chunk(chunk, store)
+                        disp = self._dispatch_chunk(chunk, store, use_device_gv)
                     except Exception as e:
                         logger.warning(
                             f"Dispatch of batch {len(chunk)} failed "
@@ -339,15 +339,21 @@ class BatchedMatcher(MatcherBase):
                 results[tuple(chunk[0])] = 0
 
     def _match_chunk(self, chunk, store, matches_path, use_device_gv, results):
-        disp = self._dispatch_chunk(chunk, store)
+        disp = self._dispatch_chunk(chunk, store, use_device_gv)
         self._finish_chunk(
             chunk, disp, store, matches_path, use_device_gv, results
         )
 
-    def _dispatch_chunk(self, chunk, store):
+    def _dispatch_chunk(self, chunk, store, use_device_gv: bool = False):
         """Issue the device matching program for a chunk; returns the (still
         lazy) device arrays so the caller can overlap host work with device
-        compute before materializing them in ``_finish_chunk``."""
+        compute before materializing them in ``_finish_chunk``.
+
+        When ``use_device_gv`` is set and the HBM-resident store is live,
+        the batched RANSAC is chained onto the matching program here (the
+        keypoint gather happens on device from the resident store), so one
+        chunk costs exactly one dispatch and one download — through a remote
+        device tunnel every extra host sync is a round trip."""
         import jax
 
         from ..parallel.mesh import get_default_mesh
@@ -357,11 +363,14 @@ class BatchedMatcher(MatcherBase):
         # data-parallel over the device mesh: pad to a divisible batch and
         # shard the batch axis; XLA partitions the matching program
         mesh = get_default_mesh()
+        on_device_store = False
         if mesh.n_devices > 1:
             batch0 = store.gather(idx0)
             batch1 = store.gather(idx1)
+            full = batch0.pop("_full", None), batch1.pop("_full", None)
             in0 = mesh.shard_batch(mesh.pad_batch(batch0))
             in1 = mesh.shard_batch(mesh.pad_batch(batch1))
+            in0["_full"], in1["_full"] = full
         elif jax.default_backend() != "cpu" and not getattr(
             store, "_device_failed", False
         ):
@@ -374,6 +383,7 @@ class BatchedMatcher(MatcherBase):
             try:
                 in0 = store.gather_device(idx0)
                 in1 = store.gather_device(idx1)
+                on_device_store = True
             except Exception as e:
                 store._device_failed = True
                 logger.warning(
@@ -386,7 +396,33 @@ class BatchedMatcher(MatcherBase):
             in0 = store.gather(idx0)
             in1 = store.gather(idx1)
         matches0, valid = self._match_batch_arrays(in0, in1)
-        return idx0, idx1, matches0, valid
+        inl = None
+        if use_device_gv and on_device_store:
+            import jax.numpy as jnp
+
+            from ..ops.ransac import ransac_fundamental_store_batch
+
+            inl = ransac_fundamental_store_batch(
+                store.device()["keypoints"],
+                jnp.asarray(np.asarray(idx0, np.int32)),
+                jnp.asarray(np.asarray(idx1, np.int32)),
+                matches0, valid,
+                jax.random.PRNGKey(0),
+                self.gv_threshold * GV_QUALITY_SCALES[self.quality],
+                iters=int(self.tpu.get("ransac_iters", 2048)),
+            )
+        # start the device->host copies NOW: they complete in the transfer
+        # stream while the next chunk computes, so _finish_chunk's
+        # device_get hits host memory instead of paying compute + download
+        # latency serially (significant when the device sits behind a
+        # network tunnel)
+        for arr in (matches0, valid, inl):
+            if hasattr(arr, "copy_to_host_async"):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
+        return idx0, idx1, matches0, valid, inl
 
     def _finish_chunk(
         self, chunk, disp, store, matches_path, use_device_gv, results
@@ -394,12 +430,19 @@ class BatchedMatcher(MatcherBase):
         import jax
         import jax.numpy as jnp
 
-        idx0, idx1, matches0, valid = disp
+        idx0, idx1, matches0, valid, inl = disp
         B = len(chunk)
+        if inl is not None:
+            # fused path: ONE materialization point for the whole chunk
+            matches0, valid, inl = jax.device_get((matches0, valid, inl))
+            inl = np.asarray(inl)[:B]
+        else:
+            matches0, valid = jax.device_get((matches0, valid))
         matches0 = np.asarray(matches0)[:B]
         valid = np.asarray(valid)[:B]
 
-        if use_device_gv:
+        if use_device_gv and inl is None:
+            # mesh / host-gather paths: batch RANSAC from host arrays
             from ..ops.ransac import ransac_fundamental_batch
 
             # matched coordinate pairs: (kpts0[i], kpts1[matches0[i]])
@@ -417,8 +460,6 @@ class BatchedMatcher(MatcherBase):
                 int(self.tpu.get("ransac_iters", 2048)),
             )
             inl = np.asarray(inl)
-        else:
-            inl = None
 
         prepared = []
         for b, (img0, img1) in enumerate(chunk):
@@ -669,6 +710,13 @@ class _PaddedFeatureStore:
             if "image_size" in f:
                 self.image_size[i] = f["image_size"]
 
+    def _all_full(self, idx: np.ndarray) -> bool:
+        """Host-side check that every gathered image fills its padded
+        capacity — lets matchers promise ``assume_full_masks`` statically
+        without a blocking device->host sync on the mask arrays."""
+        cap = self.kpts.shape[1]
+        return bool(np.all(self.counts[idx] == cap))
+
     def gather(self, idx: List[int]) -> Dict[str, np.ndarray]:
         idx = np.asarray(idx)
         return {
@@ -677,6 +725,7 @@ class _PaddedFeatureStore:
             "scores": self.scores[idx],
             "mask": self.mask[idx],
             "image_size": self.image_size[idx],
+            "_full": self._all_full(idx),
         }
 
     def device(self) -> Dict[str, "object"]:
@@ -706,7 +755,9 @@ class _PaddedFeatureStore:
 
         dev = self.device()
         ind = jnp.asarray(np.asarray(idx, np.int32))
-        return {k: jnp.take(v, ind, axis=0) for k, v in dev.items()}
+        out = {k: jnp.take(v, ind, axis=0) for k, v in dev.items()}
+        out["_full"] = self._all_full(np.asarray(idx))
+        return out
 
     def keypoints_of(self, i: int) -> np.ndarray:
         return self.kpts[i, : self.counts[i]]

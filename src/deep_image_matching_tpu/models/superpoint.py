@@ -243,37 +243,60 @@ class SuperPointRunner:
             if all(p[0].dtype == np.uint8 for p in prepped)
             else np.float32
         )
+        def _dispatch(chunk):
+            batch = np.zeros((len(chunk), ph, pw, 1), batch_dtype)
+            vhw = np.zeros((len(chunk), 2), np.int32)
+            for j, i in enumerate(chunk):
+                img = prepped[i][0]
+                if batch_dtype == np.float32 and img.dtype == np.uint8:
+                    img = img.astype(np.float32) / 255.0
+                h, w = img.shape
+                batch[j, :h, :w, 0] = img
+                vhw[j] = (h, w)
+            out = dict(extract(
+                self.params, jnp.asarray(batch), jnp.asarray(vhw),
+                self.max_keypoints, self.nms_radius,
+                self.keypoint_threshold, self.remove_borders,
+                compute_dtype=(
+                    "bfloat16" if jax.default_backend() != "cpu"
+                    else "float32"
+                ),
+            ))
+            # descriptors are stored float16 in features.h5 anyway — cast on
+            # device so the download moves half the bytes
+            out["descriptors"] = out["descriptors"].astype(jnp.float16)
+            for v in out.values():
+                if hasattr(v, "copy_to_host_async"):
+                    try:
+                        v.copy_to_host_async()
+                    except Exception:
+                        pass
+            return out
+
+        def _finish(chunk, out):
+            out = jax.device_get(out)  # one materialization per chunk
+            for j, i in enumerate(chunk):
+                m = out["mask"][j]
+                scale = prepped[i][1]
+                results[i] = {
+                    "keypoints": out["keypoints"][j][m] / scale,
+                    "scores": out["scores"][j][m],
+                    "descriptors": out["descriptors"][j][m],
+                    "image_size": np.asarray(prepped[i][2], np.int64),
+                }
+
+        # software pipelining (window of 4 in-flight chunks): batch N's
+        # download overlaps batch N+1..N+3's upload + compute instead of
+        # serializing dispatch -> blocking download per chunk
+        window: list = []
         for (ph, pw), idxs in buckets.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
-                batch = np.zeros((len(chunk), ph, pw, 1), batch_dtype)
-                vhw = np.zeros((len(chunk), 2), np.int32)
-                for j, i in enumerate(chunk):
-                    img = prepped[i][0]
-                    if batch_dtype == np.float32 and img.dtype == np.uint8:
-                        img = img.astype(np.float32) / 255.0
-                    h, w = img.shape
-                    batch[j, :h, :w, 0] = img
-                    vhw[j] = (h, w)
-                out = extract(
-                    self.params, jnp.asarray(batch), jnp.asarray(vhw),
-                    self.max_keypoints, self.nms_radius,
-                    self.keypoint_threshold, self.remove_borders,
-                    compute_dtype=(
-                        "bfloat16" if jax.default_backend() != "cpu"
-                        else "float32"
-                    ),
-                )
-                out = {k: np.asarray(v) for k, v in out.items()}
-                for j, i in enumerate(chunk):
-                    m = out["mask"][j]
-                    scale = prepped[i][1]
-                    results[i] = {
-                        "keypoints": out["keypoints"][j][m] / scale,
-                        "scores": out["scores"][j][m],
-                        "descriptors": out["descriptors"][j][m],
-                        "image_size": np.asarray(prepped[i][2], np.int64),
-                    }
+                window.append((chunk, _dispatch(chunk)))
+                if len(window) >= 4:
+                    _finish(*window.pop(0))
+        for job in window:
+            _finish(*job)
         return results
 
 

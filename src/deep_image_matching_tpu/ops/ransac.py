@@ -249,6 +249,38 @@ def ransac_fundamental_batch(
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "solve_impl"))
+def ransac_fundamental_store_batch(
+    kpts_store: jnp.ndarray,  # (N_images, K, 2) HBM-resident padded store
+    idx0: jnp.ndarray,        # (B,) image indices, side 0
+    idx1: jnp.ndarray,        # (B,) image indices, side 1
+    matches0: jnp.ndarray,    # (B, K) index into side-1 keypoints (or junk
+    valid: jnp.ndarray,       #        where ~valid)
+    key: jax.Array,
+    threshold: float = 4.0,
+    iters: int = 2048,
+    solve_impl: str = "auto",
+) -> jnp.ndarray:
+    """Fused gather + batched RANSAC straight off the device feature store.
+
+    Chains onto the matcher's output WITHOUT materializing matches on host:
+    the matched coordinate pairs are gathered on device from the padded
+    keypoint store, so verifying a chunk adds zero host round trips (the
+    reference pays one C++ host call per pair, ``utils/geometric_verification
+    .py:134-145``). Returns the (B, K) inlier mask only — F is refit on host
+    at export time if needed.
+    """
+    K = kpts_store.shape[1]
+    mk0 = jnp.take(kpts_store, idx0, axis=0)
+    k1 = jnp.take(kpts_store, idx1, axis=0)
+    gi = jnp.clip(matches0, 0, K - 1).astype(jnp.int32)
+    mk1 = jnp.take_along_axis(k1, gi[..., None], axis=1)
+    _, inl, _ = ransac_fundamental_batch(
+        mk0, mk1, valid, key, threshold, iters, solve_impl
+    )
+    return inl
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "solve_impl"))
 def ransac_fundamental(
     kpts0: jnp.ndarray,
     kpts1: jnp.ndarray,
