@@ -121,16 +121,48 @@ def _lin(x, p):
     return y.astype(x.dtype)
 
 
+def _torch_bicubic_matrix(n_in: int, n_out: int, scale: float) -> np.ndarray:
+    """Dense (n_out, n_in) interpolation matrix reproducing
+    ``F.interpolate(mode='bicubic', align_corners=False)`` exactly:
+    cubic convolution with A=-0.75, source coordinate
+    ``(dst + 0.5) / scale - 0.5`` using the CALLER's scale factor (DINOv2
+    passes ``(w0 + 0.1) / sqrt(N)`` — the +0.1 anti-fp-error trick from
+    facebookresearch/dino#8), and edge-replicated taps."""
+    A = -0.75
+
+    def k0(x):  # |x| <= 1
+        return ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0
+
+    def k1(x):  # 1 < |x| < 2
+        return ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A
+
+    W = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        src = (i + 0.5) / scale - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        w = (k1(1.0 + t), k0(t), k0(1.0 - t), k1(2.0 - t))
+        for tap, wt in zip(range(i0 - 1, i0 + 3), w):
+            W[i, min(max(tap, 0), n_in - 1)] += wt
+    return W.astype(np.float32)
+
+
 def _interp_pos_embed(pos_embed: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
-    """Bicubic-interpolate the patch position embeddings to (hp, wp)."""
+    """Bicubic-interpolate the patch position embeddings to (hp, wp),
+    bit-matching the reference's torch path (``thirdparty/RoMa/roma/models/
+    transformer/dinov2.py:166-190``). Static shapes: the tiny (hp, side)
+    weight matrices are baked at trace time."""
     n = pos_embed.shape[1] - 1
     side = int(round(float(np.sqrt(n))))
     cls_pe = pos_embed[:, :1]
     patch_pe = pos_embed[:, 1:].reshape(1, side, side, -1)
     if (hp, wp) != (side, side):
-        patch_pe = jax.image.resize(
-            patch_pe, (1, hp, wp, patch_pe.shape[-1]), "cubic"
-        )
+        # NOTE the reference swaps w/h in its scale_factor tuple; for the
+        # square grids used here they coincide.
+        Wy = jnp.asarray(_torch_bicubic_matrix(side, hp, (hp + 0.1) / side))
+        Wx = jnp.asarray(_torch_bicubic_matrix(side, wp, (wp + 0.1) / side))
+        patch_pe = jnp.einsum("oy,byxd->boxd", Wy, patch_pe)
+        patch_pe = jnp.einsum("ox,byxd->byod", Wx, patch_pe)
     return cls_pe, patch_pe.reshape(1, hp * wp, -1)
 
 

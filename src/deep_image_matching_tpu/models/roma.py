@@ -582,9 +582,13 @@ def decode(params, f1_pyr, f2_pyr, scales=SCALES, flow=None, certainty=None,
             params["refiners"][s], f1_s, f2_s, flow, s, scale_factor,
             compute_dtype=compute_dtype, corr_dtype=corr_dtype,
         )
-        h, w = sizes[s]
+        # displacement is normalized by the FULL (scale-1) resolution at
+        # every scale (reference matcher.py:384,464-470: h, w = sizes[1];
+        # delta / (refine_init * w)), not the per-scale feature size
+        h1, w1 = sizes["1"]
         disp = ins * jnp.stack(
-            [delta_flow[..., 0] / (4 * w), delta_flow[..., 1] / (4 * h)], axis=-1
+            [delta_flow[..., 0] / (4 * w1), delta_flow[..., 1] / (4 * h1)],
+            axis=-1,
         )
         flow = flow + disp
         certainty = certainty + delta_cert
