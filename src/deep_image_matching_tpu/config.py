@@ -301,7 +301,9 @@ opt_zoo: Dict[str, Any] = {
         "roma",
         "lighterglue",
     ],
-    "retrieval": ["netvlad", "openibl", "cosplace", "dir"],
+    # reference zoo (image_retrieval.py) + the explicit weight-free "tiny"
+    # descriptor (this build is offline; see image_retrieval.py weight policy)
+    "retrieval": ["netvlad", "openibl", "cosplace", "dir", "tiny"],
     "matching_strategy": [
         "bruteforce",
         "sequential",

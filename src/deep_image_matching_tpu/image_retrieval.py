@@ -3,8 +3,14 @@
 Parity: reference ``image_retrieval.py:7-44`` — global descriptors
 (NetVLAD / OpenIBL / CosPlace / DIR) + top-k similarity pairs, deduplicated.
 The descriptor runs as one jitted batch program; similarity is a single
-matmul. Without pretrained checkpoints (no network egress here) the
-weight-free ``tiny`` descriptor backs all four names with a warning.
+matmul.
+
+Weight policy (same as extractors/matchers, ``utils/weights.py``): asking
+for a learned global descriptor without its checkpoint ABORTS with the
+expected-filename table — a silent quality substitution in pair selection
+changes which pairs exist for every downstream stage. The weight-free
+``tiny`` descriptor is an EXPLICIT option (``--global_feature tiny`` /
+``retrieval: tiny``), or the fallback when random weights are allowed.
 """
 
 from __future__ import annotations
@@ -18,6 +24,13 @@ import numpy as np
 
 from .models import retrieval as R
 from .utils.image import ImageList, read_image, resize_image
+from .utils.weights import classical_fallback, missing_weights
+
+# appended to the abort message at every retrieval checkpoint-miss site
+_TINY_NOTE = (
+    "Or select the weight-free descriptor explicitly: --global_feature tiny "
+    "(config `general: {retrieval: tiny}`)."
+)
 
 logger = logging.getLogger("dim_tpu")
 
@@ -93,10 +106,10 @@ def _load_cosplace():
                 logger.info(f"Loaded CosPlace weights from {cand}")
                 ckpt = torch.load(str(cand), map_location="cpu")
                 return cosplace_params_from_torch(ckpt.get("state_dict", ckpt))
-    logger.warning(
-        "No CosPlace checkpoint (DIM_TPU_WEIGHTS_DIR/cosplace_resnet18.pth); "
-        "falling back to the weight-free 'tiny' global descriptor."
+    missing_weights(
+        "CosPlace", ["cosplace_resnet18.pth", "cosplace.pth"], note=_TINY_NOTE
     )
+    classical_fallback("CosPlace", "'tiny' global descriptor")
     return None
 
 
@@ -113,10 +126,10 @@ def _load_openibl():
                 logger.info(f"Loaded OpenIBL weights from {cand}")
                 ckpt = torch.load(str(cand), map_location="cpu")
                 return openibl_params_from_torch(ckpt.get("state_dict", ckpt))
-    logger.warning(
-        "No OpenIBL checkpoint (DIM_TPU_WEIGHTS_DIR/vgg16_netvlad.pth); "
-        "falling back to the weight-free 'tiny' global descriptor."
+    missing_weights(
+        "OpenIBL", ["vgg16_netvlad.pth", "openibl.pth"], note=_TINY_NOTE
     )
+    classical_fallback("OpenIBL", "'tiny' global descriptor")
     return None
 
 
@@ -135,10 +148,11 @@ def _load_dir():
                 return resnet_gem_params_from_torch(
                     ckpt.get("state_dict", ckpt)
                 )
-    logger.warning(
-        "No DIR checkpoint (DIM_TPU_WEIGHTS_DIR/Resnet101-AP-GeM-LM18.pt); "
-        "falling back to the weight-free 'tiny' global descriptor."
+    missing_weights(
+        "DIR", ["Resnet101-AP-GeM-LM18.pt", "dir_resnet101_gem.pth"],
+        note=_TINY_NOTE,
     )
+    classical_fallback("DIR", "'tiny' global descriptor")
     return None
 
 
@@ -152,10 +166,8 @@ def _load_netvlad():
             data = np.load(cand)
             logger.info(f"Loaded NetVLAD weights from {cand}")
             return {k: jnp.asarray(v) for k, v in data.items()}
-    logger.warning(
-        "No NetVLAD checkpoint (set DIM_TPU_WEIGHTS_DIR/netvlad.npz); "
-        "falling back to the weight-free 'tiny' global descriptor."
-    )
+    missing_weights("NetVLAD", ["netvlad.npz"], note=_TINY_NOTE)
+    classical_fallback("NetVLAD", "'tiny' global descriptor")
     return None
 
 
@@ -165,7 +177,7 @@ def retrieval_pairs(
     num_matched: int = 10,
 ) -> List[Tuple[str, str]]:
     names = image_list.img_names
-    if retrieval not in ("netvlad", "openibl", "cosplace", "dir"):
+    if retrieval not in ("netvlad", "openibl", "cosplace", "dir", "tiny"):
         raise ValueError(f"Unknown retrieval method '{retrieval}'")
     descs = compute_global_descriptors(image_list, retrieval)
     sim = descs @ descs.T
