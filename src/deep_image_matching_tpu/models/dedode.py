@@ -103,6 +103,7 @@ def describe_g(
     params: Params,
     images: jnp.ndarray,   # (B, H, W, 3) in [0,1], H/W multiples of 14 and 8
     kpts: jnp.ndarray,     # (B, K, 2) pixel coords
+    dino_dtype: str = "bfloat16",
 ) -> jnp.ndarray:
     """Descriptor-G: VGG pyramid + DINOv2 /14 tokens decoded coarse-to-fine."""
     from . import dinov2 as dino
@@ -110,7 +111,7 @@ def describe_g(
     x = _normalize(images)
     feats = vgg19_features(params["encoder"], x)  # [1, 2, 4, 8]
     B, H, W, _ = images.shape
-    tokens = dino.forward_features(params["dinov2"], x)
+    tokens = dino.forward_features(params["dinov2"], x, compute_dtype=dino_dtype)
     f14 = tokens.reshape(B, H // 14, W // 14, -1)
     grid = decode_multiscale(
         feats + [f14], params["refiners"], num_prototypes=256,
