@@ -93,25 +93,43 @@ def params_from_torch(state_dict) -> Params:
     the only 1-d weight tensors in DISK's U-Net — the InstanceNorms are
     affine-free with no running stats — so this is unambiguous. A first
     conv without a preceding gate tensor loads as a bare conv.
+
+    Strict full-manifest load: exactly 9 conv layers must be present, the
+    channel plan must match the published topology, and EVERY tensor in the
+    checkpoint must be consumed (conv weight, conv bias, or gate) — any
+    residue aborts the conversion rather than silently shipping a partial
+    load of an incompatible kornia/DISK variant.
     """
     sd = {
         k: np.asarray(v.detach().cpu() if hasattr(v, "detach") else v)
         for k, v in state_dict.items()
     }
-    ordered = [k for k in sd if k.endswith("weight") or k.endswith("bias")]
+    # tolerate one uniform wrapper prefix ("model.", "extractor.", ...)
+    prefixes = {k.split(".", 1)[0] for k in sd if "." in k}
+    if len(prefixes) == 1 and all("." in k for k in sd):
+        pre = next(iter(prefixes))
+        if not any(sd[k].ndim == 4 for k in sd if k == f"{pre}.weight"):
+            stripped = {k.split(".", 1)[1]: v for k, v in sd.items()}
+            if len(stripped) == len(sd):
+                sd = stripped
+
+    ordered = list(sd)
     conv_keys = [k for k in ordered if k.endswith(".weight") and sd[k].ndim == 4]
     n_need = len(DOWN) + len(UP)
-    if len(conv_keys) < n_need:
+    if len(conv_keys) != n_need:
         raise ValueError(
-            f"DISK checkpoint has {len(conv_keys)} conv layers, expected {n_need}"
+            f"DISK checkpoint has {len(conv_keys)} conv layers, expected "
+            f"exactly {n_need} — refusing a partial/over-full load "
+            f"(conv keys: {conv_keys})"
         )
-    conv_keys = conv_keys[:n_need]
     onedim = [k for k in ordered if k.endswith(".weight") and sd[k].ndim == 1]
+    consumed = set()
 
     def gate_between(lo: int, hi: int, cin: int) -> Optional[jnp.ndarray]:
         for k in onedim:
             pos = ordered.index(k)
-            if lo < pos < hi and sd[k].shape == (cin,):
+            if lo < pos < hi and sd[k].shape == (cin,) and k not in consumed:
+                consumed.add(k)
                 return jnp.asarray(sd[k], jnp.float32)
         return None
 
@@ -125,6 +143,9 @@ def params_from_torch(state_dict) -> Params:
             w = sd[k].transpose(2, 3, 1, 0)  # OIHW -> HWIO
             cin, co = w.shape[2], w.shape[3]
             pos = ordered.index(k)
+            consumed.add(k)
+            if f"{base}.bias" in sd:
+                consumed.add(f"{base}.bias")
             params[group].append({
                 "w": jnp.asarray(w, jnp.float32),
                 "b": jnp.asarray(sd.get(f"{base}.bias", np.zeros(co)), jnp.float32),
@@ -137,6 +158,18 @@ def params_from_torch(state_dict) -> Params:
     got_up = [p["w"].shape[3] for p in params["up"]]
     if got_down != DOWN or got_up != UP:
         raise ValueError(f"DISK channel plan mismatch: down={got_down} up={got_up}")
+
+    # FULL-MANIFEST validation: every tensor in the checkpoint must have been
+    # consumed. A residue tensor means the checkpoint carries weights this
+    # topology does not represent (different kornia version, affine
+    # InstanceNorms, extra heads) — loading it partially would silently ship
+    # a wrong conversion, so abort instead.
+    residue = [k for k in ordered if k not in consumed and sd[k].size > 0]
+    if residue:
+        raise ValueError(
+            "DISK checkpoint has tensors this converter does not consume — "
+            f"refusing a partial load. Residue: {sorted(residue)}"
+        )
     return params
 
 

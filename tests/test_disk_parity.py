@@ -113,3 +113,39 @@ def test_disk_extract_full_resolution():
     kpts = np.asarray(out["keypoints"][0])[np.asarray(out["mask"][0])]
     assert kpts.size and kpts[:, 0].max() > 48 and kpts[:, 1].max() > 32
     assert kpts[:, 0].max() < 96 and kpts[:, 1].max() < 64
+
+def test_disk_converter_rejects_residue():
+    """Strict manifest: any checkpoint tensor the topology does not consume
+    aborts the load (a different kornia/DISK variant must not half-load)."""
+    tm = _randomize(_TorchDisk(first_gate=True), seed=9).eval()
+    sd = {k: v.clone() for k, v in tm.state_dict().items()}
+
+    extra = dict(sd)
+    extra["extra_head.weight"] = torch.randn(7)
+    with pytest.raises(ValueError, match="[Rr]esidue"):
+        disk_jax.params_from_torch(extra)
+
+    # affine InstanceNorms (1-d weights that are NOT gates for these convs)
+    affine = dict(sd)
+    affine["path_down.2.0.weight"] = torch.randn(123)
+    with pytest.raises(ValueError):
+        disk_jax.params_from_torch(affine)
+
+
+def test_disk_converter_rejects_wrong_conv_count():
+    tm = _randomize(_TorchDisk(first_gate=True), seed=9).eval()
+    sd = {k: v.clone() for k, v in tm.state_dict().items()}
+    sd["tail.conv.weight"] = torch.randn(4, 4, 3, 3)
+    with pytest.raises(ValueError, match="conv layers"):
+        disk_jax.params_from_torch(sd)
+
+    short = {k: v for k, v in sd.items() if "path_up.3" not in k and "tail" not in k}
+    with pytest.raises(ValueError, match="conv layers"):
+        disk_jax.params_from_torch(short)
+
+
+def test_disk_converter_strips_uniform_wrapper_prefix():
+    tm = _randomize(_TorchDisk(first_gate=False), seed=4).eval()
+    wrapped = {f"model.{k}": v.clone() for k, v in tm.state_dict().items()}
+    params = disk_jax.params_from_torch(wrapped)
+    assert [p["w"].shape[3] for p in params["down"]] == DOWN
