@@ -1,0 +1,102 @@
+"""Full-pipeline multi-device equality: ``ImageMatcher.run()`` on the
+8-virtual-device CPU mesh must produce the same artifacts as on 1 device.
+
+Op-level sharded==unsharded is covered by ``tests/test_parallel.py``; this
+covers the PRODUCTION mesh branch end-to-end — pair chunking, batch padding
+to the mesh size (``parallel/mesh.py::pad_batch``), the sharded dispatch in
+``matchers/matcher_base.py::_dispatch_chunk``, geometric verification, and
+the single-writer h5 path — by diffing the resulting features.h5/matches.h5
+content between mesh sizes.
+
+Reference behavior being matched: the torch pipeline is single-device; its
+per-pair loop (``image_matching.py:467-487``) defines the ground truth the
+mesh run must reproduce exactly.
+"""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from deep_image_matching_tpu.io.h5 import (
+    get_features,
+    get_matches,
+    list_h5_names,
+    list_pairs,
+)
+
+pytestmark = pytest.mark.slow
+
+REFERENCE_IMAGES = Path(
+    "/root/reference/assets/example_sacre_coeur/images"
+)
+
+
+def _run_pipeline(project_dir: Path, devices):
+    from deep_image_matching_tpu import image_matching
+    from deep_image_matching_tpu.config import Config
+    from deep_image_matching_tpu.parallel import mesh as mesh_mod
+
+    prev = mesh_mod._DEFAULT_MESH
+    mesh_mod._DEFAULT_MESH = mesh_mod.MeshRunner(devices=devices)
+    try:
+        cfg = Config(
+            args={
+                "dir": str(project_dir),
+                "pipeline": "sift+kornia_matcher",
+                "strategy": "bruteforce",
+                "skip_reconstruction": True,
+                "force": True,
+            }
+        )
+        matcher = image_matching.ImageMatcher(cfg)
+        feature_path, match_path = matcher.run()
+    finally:
+        mesh_mod._DEFAULT_MESH = prev
+    return feature_path, match_path
+
+
+@pytest.mark.skipif(
+    not REFERENCE_IMAGES.exists(), reason="reference assets not available"
+)
+def test_pipeline_mesh_equals_single_device(tmp_path):
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device (virtual CPU) test mesh")
+
+    proj_multi = tmp_path / "multi"
+    proj_single = tmp_path / "single"
+    for proj in (proj_multi, proj_single):
+        proj.mkdir()
+        shutil.copytree(REFERENCE_IMAGES, proj / "images")
+
+    feat_m, match_m = _run_pipeline(proj_multi, devs)
+    feat_s, match_s = _run_pipeline(proj_single, devs[:1])
+
+    # identical feature content (extraction is host-side and deterministic,
+    # but the h5 must round-trip identically through both runs)
+    names_m = sorted(list_h5_names(feat_m))
+    names_s = sorted(list_h5_names(feat_s))
+    assert names_m == names_s and len(names_m) == 5
+    for n in names_m:
+        fm, fs = get_features(feat_m, n), get_features(feat_s, n)
+        np.testing.assert_array_equal(fm["keypoints"], fs["keypoints"])
+        np.testing.assert_array_equal(fm["descriptors"], fs["descriptors"])
+
+    # identical verified matches for every pair
+    pairs_m = {tuple(p) for p in list_pairs(match_m)}
+    pairs_s = {tuple(p) for p in list_pairs(match_s)}
+    assert pairs_m == pairs_s and len(pairs_m) >= 3
+    total = 0
+    for a, b in sorted(pairs_m):
+        mm, ms = get_matches(match_m, a, b), get_matches(match_s, a, b)
+        # canonical row order (the writer preserves order, but don't let an
+        # implementation-detail permutation fail an equality of content)
+        mm = mm[np.lexsort(mm.T[::-1])]
+        ms = ms[np.lexsort(ms.T[::-1])]
+        np.testing.assert_array_equal(mm, ms, err_msg=f"pair {a}-{b}")
+        total += len(mm)
+    assert total > 200
