@@ -258,17 +258,33 @@ def _merge(x):
     return x.transpose(0, 2, 1, 3).reshape(B, N, H * hd)
 
 
+def _prologue_fused_ok(x, ffn_impl: str) -> bool:
+    """The fused Pallas prologue rides the same gate as the fused FFN
+    (TPU flash path, padded shapes)."""
+    B, N, D = x.shape
+    return ffn_impl == "fused" and D % 128 == 0 and (B * N) % 128 == 0
+
+
 def _self_block(x, enc, mask, p, num_heads, attn_impl="xla", ffn_impl="xla",
                 full=False):
-    qkv = _linear(x, p["qkv"])  # (B, N, 3D)
-    B, N, _ = qkv.shape
-    D = x.shape[-1]
-    # torch layout: last dim = (heads, head_dim, 3)
-    qkv = qkv.reshape(B, N, num_heads, D // num_heads, 3).transpose(0, 2, 1, 3, 4)
-    q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
     cos, sin = enc
-    q = _apply_rotary(q, cos, sin)
-    k = _apply_rotary(k, cos, sin)
+    if _prologue_fused_ok(x, ffn_impl):
+        # one Pallas kernel: QKV matmul + unpack + rotary per row tile
+        # (ops/pallas_qkv.py) — the (B, N, 3D) intermediate and the rotary
+        # relayout passes never hit HBM
+        from ..ops.pallas_qkv import qkv_rotary_fused
+
+        q, k, v = qkv_rotary_fused(x, p["qkv"], cos, sin, num_heads)
+        q, k, v = _heads(q, num_heads), _heads(k, num_heads), _heads(v, num_heads)
+    else:
+        qkv = _linear(x, p["qkv"])  # (B, N, 3D)
+        B, N, _ = qkv.shape
+        D = x.shape[-1]
+        # torch layout: last dim = (heads, head_dim, 3)
+        qkv = qkv.reshape(B, N, num_heads, D // num_heads, 3).transpose(0, 2, 1, 3, 4)
+        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+        q = _apply_rotary(q, cos, sin)
+        k = _apply_rotary(k, cos, sin)
     # "bidir" only changes the cross block; self attention stays flash
     self_impl = "flash" if attn_impl == "bidir" else attn_impl
     # full=True: caller statically guarantees all-ones masks — skip the
@@ -281,10 +297,18 @@ def _self_block(x, enc, mask, p, num_heads, attn_impl="xla", ffn_impl="xla",
 
 def _cross_block(x0, x1, mask0, mask1, p, num_heads, attn_impl="xla", ffn_impl="xla",
                  full=False):
-    qk0 = _heads(_linear(x0, p["qk"]), num_heads)
-    qk1 = _heads(_linear(x1, p["qk"]), num_heads)
-    v0 = _heads(_linear(x0, p["v"]), num_heads)
-    v1 = _heads(_linear(x1, p["v"]), num_heads)
+    if _prologue_fused_ok(x0, ffn_impl) and x0.shape == x1.shape:
+        from ..ops.pallas_qkv import qk_v_fused
+
+        qk0f, v0f = qk_v_fused(x0, p["qk"], p["v"])
+        qk1f, v1f = qk_v_fused(x1, p["qk"], p["v"])
+        qk0, v0 = _heads(qk0f, num_heads), _heads(v0f, num_heads)
+        qk1, v1 = _heads(qk1f, num_heads), _heads(v1f, num_heads)
+    else:
+        qk0 = _heads(_linear(x0, p["qk"]), num_heads)
+        qk1 = _heads(_linear(x1, p["qk"]), num_heads)
+        v0 = _heads(_linear(x0, p["v"]), num_heads)
+        v1 = _heads(_linear(x1, p["v"]), num_heads)
     scale = qk0.shape[-1] ** -0.5
     if attn_impl == "bidir":
         # one Pallas kernel computes each S tile once and feeds both
