@@ -70,6 +70,10 @@ conf_general: Dict[str, Any] = {
     "gv_confidence": 0.99999,
     "min_inliers_per_pair": 15,
     "min_inlier_ratio_per_pair": 0.15,
+    # matching_lowres probe (reference low_resolution.py: SP@max-1000px)
+    "lowres_probe_size": 1000,
+    "lowres_min_matches": 20,
+    "lowres_max_keypoints": 1024,
     "try_match_full_images": False,
     "preselection_pipeline": "superpoint+lightglue",
     # SfM backend: "auto" = pycolmap when installed, else the native

@@ -23,6 +23,81 @@ from .utils.image import ImageList
 logger = logging.getLogger("dim_tpu")
 
 
+def _nn_count_pairs(feats: list, pairs: List[Tuple[int, int]],
+                    batch_size: int = 64) -> List[int]:
+    """Mutual-NN (smnn) raw-match counts over padded descriptor batches —
+    the weight-free counter backing the ALIKED probe fallback."""
+    import jax.numpy as jnp
+
+    from .ops.nn_match import nn_match_auto
+
+    cap = max(max(len(f["keypoints"]) for f in feats), 8)
+    cap = -(-cap // 64) * 64
+    dim = feats[0]["descriptors"].shape[-1]
+    D = np.zeros((len(feats), cap, dim), np.float32)
+    M = np.zeros((len(feats), cap), bool)
+    for i, f in enumerate(feats):
+        n = len(f["keypoints"])
+        D[i, :n] = f["descriptors"]
+        M[i, :n] = True
+    counts: List[int] = []
+    for start in range(0, len(pairs), batch_size):
+        chunk = pairs[start:start + batch_size]
+        i0 = [i for i, _ in chunk]
+        i1 = [j for _, j in chunk]
+        _, valid = nn_match_auto(
+            jnp.asarray(D[i0]), jnp.asarray(D[i1]),
+            jnp.asarray(M[i0]), jnp.asarray(M[i1]),
+            mode="smnn", ratio_th=0.95,
+        )
+        counts.extend(int(v.sum()) for v in np.asarray(valid))
+    return counts
+
+
+def _probe_backend(max_keypoints: int, resize_max: int):
+    """Real-weight probe selection (same policy as ``upright._make_probe``):
+    SuperPoint+LightGlue when both checkpoints exist, else the bundled
+    ALIKED weights + weight-free mutual-NN counting, else (only when random
+    weights are explicitly allowed) random-init SuperPoint+LightGlue."""
+    from .models.lightglue import LightGlueRunner
+    from .models.lightglue import load_default_params as lg_params
+    from .models.superpoint import SuperPointRunner
+    from .models.superpoint import load_default_params as sp_params
+    from .utils import weights as W
+
+    with W.strict():
+        try:
+            sp = SuperPointRunner(
+                params=sp_params(), max_keypoints=max_keypoints,
+                resize_max=resize_max,
+            )
+            lg = LightGlueRunner(
+                params=lg_params("superpoint"), features="superpoint"
+            )
+            return sp, lg.count_matches_pairs
+        except W.MissingWeightsError:
+            pass
+        try:
+            from .upright import _AlikedProbe
+
+            probe = _AlikedProbe(
+                max_keypoints=max_keypoints, resize_max=resize_max
+            )
+            logger.info(
+                "Low-res probe: no SuperPoint/LightGlue checkpoints; using "
+                "the bundled ALIKED weights + mutual-NN counting."
+            )
+            return probe, _nn_count_pairs
+        except FileNotFoundError:
+            pass
+    logger.warning(
+        "Low-res probe: no SuperPoint/ALIKED checkpoints found; falling "
+        "back to random-init SuperPoint+LightGlue (policy-gated)."
+    )
+    sp = SuperPointRunner(max_keypoints=max_keypoints, resize_max=resize_max)
+    return sp, LightGlueRunner(features="superpoint").count_matches_pairs
+
+
 def lowres_pair_probe(
     image_list: ImageList,
     resize_max: int = 1000,
@@ -30,17 +105,17 @@ def lowres_pair_probe(
     max_keypoints: int = 1024,
     config=None,
 ) -> List[Tuple[str, str]]:
-    from .models.superpoint import SuperPointRunner
-    from .models.lightglue import LightGlueRunner
-
+    if config is not None:
+        g = getattr(config, "general", None) or {}
+        resize_max = g.get("lowres_probe_size", resize_max)
+        min_matches = g.get("lowres_min_matches", min_matches)
+        max_keypoints = g.get("lowres_max_keypoints", max_keypoints)
     names = image_list.img_names
     brute = list(itertools.combinations(range(len(names)), 2))
 
-    sp = SuperPointRunner(max_keypoints=max_keypoints, resize_max=resize_max)
+    sp, count_pairs = _probe_backend(max_keypoints, resize_max)
     feats = sp.extract_images([im.path for im in image_list])
-
-    lg = LightGlueRunner(features="superpoint")
-    counts = lg.count_matches_pairs(feats, brute)
+    counts = count_pairs(feats, brute)
 
     pairs = [
         (names[i], names[j])

@@ -112,17 +112,30 @@ class _AlikedProbe:
         from .models import aliked as aliked_model
 
         results = [None] * len(prepped)
+        # ONE static padded shape for every probe dispatch: heterogeneous
+        # image sizes (and the h/w swap of each rotation candidate) would
+        # otherwise compile a separate ALIKED program per shape — measured
+        # 540 s of XLA compiles on the 4-image mixed-size temple_baal scene.
+        # Probe inputs are <= resize_max on the long side, so a square of
+        # ceil(resize_max/32)*32 fits them all; vhw masks the padding.
         pad_to = 32
-        buckets: Dict[tuple, list] = {}
-        for i, (img, _, _) in enumerate(prepped):
+        side = -(-self.resize_max // pad_to) * pad_to
+        for img, _, _ in prepped:  # direct callers may exceed resize_max
             h, w = img.shape[:2]
-            buckets.setdefault(
-                (-(-h // pad_to) * pad_to, -(-w // pad_to) * pad_to), []
-            ).append(i)
-        for (ph, pw), idxs in buckets.items():
-            batch = np.zeros((len(idxs), ph, pw, 3), np.float32)
-            vhw = np.zeros((len(idxs), 2), np.int32)
-            for j, i in enumerate(idxs):
+            side = max(side, -(-h // pad_to) * pad_to, -(-w // pad_to) * pad_to)
+        ph = pw = side
+        # bound the per-dispatch batch: one program per (shape, chunk) keeps
+        # VMEM in budget at scale (a 60-image scene in one bucket otherwise
+        # compiles a single batch-60 program and OOMs scoped vmem); on a
+        # device OOM the chunk bisects, same containment as the matcher's
+        # ``_match_chunk_resilient``. The deform-gather working set scales
+        # with resolution, so large probe sizes start at a smaller chunk.
+        chunk = 8 if side <= 768 else 4
+
+        def run_chunk(sub, bs):
+            batch = np.zeros((bs, ph, pw, 3), np.float32)
+            vhw = np.ones((bs, 2), np.int32)
+            for j, i in enumerate(sub):
                 img = prepped[i][0]
                 if img.dtype == np.uint8:
                     img = img.astype(np.float32) / 255.0
@@ -135,7 +148,7 @@ class _AlikedProbe:
                 detection_threshold=0.2, nms_radius=3,
             )
             out = {k: np.asarray(v) for k, v in out.items()}
-            for j, i in enumerate(idxs):
+            for j, i in enumerate(sub):
                 m = out["mask"][j]
                 scale = prepped[i][1]
                 results[i] = {
@@ -143,6 +156,27 @@ class _AlikedProbe:
                     "descriptors": out["descriptors"][j][m],
                     "scores": out["scores"][j][m],
                 }
+
+        def run_resilient(sub, bs):
+            try:
+                run_chunk(sub, bs)
+            except Exception as e:
+                if len(sub) <= 1:
+                    raise
+                logger.warning(
+                    f"ALIKED probe batch of {len(sub)} at {ph}x{pw} failed "
+                    f"({type(e).__name__}); bisecting"
+                )
+                mid = len(sub) // 2
+                run_resilient(sub[:mid], mid)
+                run_resilient(sub[mid:], len(sub) - mid)
+
+        idxs = list(range(len(prepped)))
+        for s in range(0, len(idxs), chunk):
+            sub = idxs[s:s + chunk]
+            # pad the tail chunk to the full batch: one compiled program
+            # per (side, chunk) total, shared across calls
+            run_resilient(sub, chunk)
         return results
 
 
