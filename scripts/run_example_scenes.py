@@ -24,6 +24,19 @@ from pathlib import Path
 ASSETS = Path("/root/reference/assets")
 
 PIPELINES = {
+    # Hard scenes (nadar/temple_baal/thermal) need dense detection + a
+    # permissive or geometry-aware matcher; measured round 3 (docs/status.md):
+    # nadar 11/12, temple_baal 3/4, thermal 5/6 with these two.
+    "aliked4k+smnn95": dict(
+        extractor={"name": "aliked", "max_num_keypoints": 4096,
+                   "detection_threshold": 0.1},
+        matcher={"name": "kornia_matcher", "match_mode": "smnn", "th": 0.95},
+    ),
+    "aliked4k+adalam": dict(
+        extractor={"name": "aliked", "max_num_keypoints": 4096,
+                   "detection_threshold": 0.1},
+        matcher={"name": "adalam"},
+    ),
     "aliked+smnn": dict(
         extractor={"name": "aliked", "max_num_keypoints": 2048},
         matcher={"name": "kornia_matcher", "match_mode": "smnn", "th": 0.85},

@@ -56,9 +56,13 @@ def topk_flat(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     (N, k) combinations (e.g. N=307200, k=4000: "TransformWindow: Loop will
     not make progress"). For large N this splits into ~32k-element chunks,
     takes an exact per-chunk top-k, and reduces the B x (chunks*k) candidate
-    set with a final top-k — the global top-k is always contained in the
-    union of per-chunk top-k sets, so the result is exact. Measured on v5e:
-    3.5 ms for (1, 307200) k=4000 vs a compiler abort for plain top_k.
+    set *recursively* — the global top-k is always contained in the union of
+    per-chunk top-k sets, so the result is exact. The reduction must recurse
+    (not call ``lax.top_k`` directly): at k=4096 over a 1440x1920 map the
+    candidate set is 85*4096 = 348160 wide, which re-triggers the same
+    compiler abort (verified on v5e: plain top_k on (1, 348160) k=4096
+    SIGABRTs in pipeline_emitter.cc). Measured on v5e: 3.5 ms for
+    (1, 307200) k=4000 vs a compiler abort for plain top_k.
     """
     if flat.ndim == 1:
         vals, idx = topk_flat(flat[None], k)
@@ -83,7 +87,7 @@ def topk_flat(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     base = (jnp.arange(nchunks, dtype=idx.dtype) * c)[None, :, None]
     gidx = (idx + base).reshape(B, nchunks * k)
     gvals = vals.reshape(B, nchunks * k)
-    top_vals, sel = jax.lax.top_k(gvals, k)
+    top_vals, sel = topk_flat(gvals, k)  # recurse: candidate set can still be huge
     return top_vals, jnp.take_along_axis(gidx, sel, axis=-1)
 
 

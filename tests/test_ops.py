@@ -168,6 +168,24 @@ def test_topk_flat_exact_large_n():
         np.testing.assert_allclose(x[b][idx[b]], vals[b])
 
 
+def test_topk_flat_recursive_reduction():
+    """The chunked reduction must recurse: at k=4096 over a 1440x1920 score
+    map (N=2764800) the candidate set is 85*4096=348160 wide, which SIGABRTs
+    the TPU compiler if reduced with one plain lax.top_k (pipeline_emitter
+    span_size check; reproduced on v5e). Exactness check at that shape."""
+    import jax.numpy as jnp
+
+    from deep_image_matching_tpu.ops.detect import topk_flat
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 2764800)).astype(np.float32)
+    vals, idx = topk_flat(jnp.asarray(x), 4096)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    ref = np.sort(x[0])[::-1][:4096]
+    np.testing.assert_allclose(np.sort(vals[0])[::-1], ref)
+    np.testing.assert_allclose(x[0][idx[0]], vals[0])
+
+
 def test_topk_flat_small_n_passthrough():
     import jax.numpy as jnp
 

@@ -90,6 +90,29 @@ def test_aliked_smnn_reconstructs_sacre_coeur(tmp_path):
     assert len(points3D) > 500
 
 
+@pytest.mark.skipif(not _have_aliked(), reason="no bundled ALIKED checkpoint")
+def test_aliked_adalam_reconstructs_thermal(tmp_path):
+    """Hard-scene breadth (BASELINE.md quality bar): thermal imagery with 2
+    rotated frames. Needs dense detection (4096 kpts, threshold 0.1) +
+    AdaLAM; measured live on v5e: 5/6 registered, 366 points (round 3,
+    docs/status.md). Asserts the floor at 4/6."""
+    thermal = Path("/root/reference/assets/example_thermal/images")
+    if not thermal.is_dir():
+        pytest.skip("example_thermal assets not available")
+    proj = tmp_path / "proj"
+    (proj / "images").mkdir(parents=True)
+    for f in thermal.iterdir():
+        shutil.copy(f, proj / "images" / f.name)
+    images, points3D = _run_and_reconstruct(
+        proj,
+        extractor={"name": "aliked", "max_num_keypoints": 4096,
+                   "detection_threshold": 0.1},
+        matcher={"name": "adalam"},
+    )
+    assert len(images) >= 4, f"expected >=4/6 registered, got {len(images)}"
+    assert len(points3D) > 200
+
+
 @pytest.mark.skipif(not _have_alike(), reason="no bundled ALIKE checkpoint")
 def test_alike_smnn_reconstructs_sacre_coeur(tmp_path):
     proj = _project(tmp_path)
