@@ -259,8 +259,17 @@ def _merge(x):
 
 
 def _prologue_fused_ok(x, ffn_impl: str) -> bool:
-    """The fused Pallas prologue rides the same gate as the fused FFN
-    (TPU flash path, padded shapes)."""
+    """The fused Pallas prologue (ops/pallas_qkv.py) is parity, not a win:
+    measured 16.80 vs 16.53 ms/batch (B=4, K=2048, bf16, v5e) against the
+    plain XLA prologue — XLA already keeps the qkv intermediate fused with
+    its consumers well enough that the hand-written tile pass only adds the
+    f32 rotate-half detour (32-bit-only `tpu.dynamic_rotate`). Kept opt-in
+    (`DIM_TPU_FUSED_PROLOGUE=1`) with parity tests; gate otherwise matches
+    the fused FFN (TPU flash path, padded shapes)."""
+    import os
+
+    if os.environ.get("DIM_TPU_FUSED_PROLOGUE", "0") != "1":
+        return False
     B, N, D = x.shape
     return ffn_impl == "fused" and D % 128 == 0 and (B * N) % 128 == 0
 

@@ -22,6 +22,14 @@ add 66% to the kernel's FLOPs).
 The cross-block prologue (qk/v projections, no rotary) reuses the same
 kernel with two sections and an empty rotary set.
 
+Measured result (v5e, B=4, K=2048, bf16, full 9-layer forward): 16.80 ms
+fused vs 16.53 ms XLA — a ~1.6% LOSS. XLA keeps the qkv intermediate fused
+into its consumers well enough that the hand pass only adds the f32
+rotate-half detour (``tpu.dynamic_rotate`` has no 16-bit lowering, so the
+roll must run on the f32 accumulator). The kernel stays opt-in via
+``DIM_TPU_FUSED_PROLOGUE=1`` (see ``models/lightglue.py``), with
+interpret-mode parity tests kept green.
+
 Numerics match the XLA path: f32 matmul accumulation, cast to the compute
 dtype, rotary multiply-add in the compute dtype with f32 cos/sin cast down
 — the same order of operations as ``models/lightglue.py::_apply_rotary``.
@@ -40,7 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _rotate_half_tile(t):
     """rotate_half on a (TM, C) tile: out[2k] = -t[2k+1], out[2k+1] = t[2k].
-    Two lane rolls + parity select — stays on the VPU."""
+    Two lane rolls + parity select — stays on the VPU.
+
+    MUST be called on a 32-bit tile: Mosaic's ``tpu.dynamic_rotate`` has no
+    16-bit lowering ("Rotate with non-32-bit data" abort on v5e libtpu), so
+    the caller rolls the f32 accumulator *before* casting to the compute
+    dtype (roll/negate commute with the downcast — numerics unchanged)."""
     c = t.shape[1]
     rl = pltpu.roll(t, shift=c - 1, axis=1)  # t[j+1] (left roll by 1)
     rr = pltpu.roll(t, shift=1, axis=1)      # t[j-1]
@@ -57,14 +70,17 @@ def _proj_rot_kernel(x_ref, w_ref, b_ref, cos_ref, sin_ref, *refs,
     t = y.astype(x.dtype)
     if rot:
         # cos/sin are per-head (TM, hd); all heads share them, so the
-        # (head, hd) section layout tiles them across the section's lanes
+        # (head, hd) section layout tiles them across the section's lanes.
+        # repeat + rotate run on 32-bit vectors (16-bit rotate/relayout has
+        # no Mosaic lowering); the downcast after is exact for both.
         reps = d // cos_ref.shape[-1]
-        cos = pltpu.repeat(cos_ref[...].astype(x.dtype), reps, axis=1)
-        sin = pltpu.repeat(sin_ref[...].astype(x.dtype), reps, axis=1)
+        cos = pltpu.repeat(cos_ref[...], reps, axis=1).astype(x.dtype)
+        sin = pltpu.repeat(sin_ref[...], reps, axis=1).astype(x.dtype)
     for s in range(n_sections):
         sec = t[:, s * d:(s + 1) * d]
         if s in rot:
-            sec = sec * cos + _rotate_half_tile(sec) * sin
+            rh = _rotate_half_tile(y[:, s * d:(s + 1) * d]).astype(x.dtype)
+            sec = sec * cos + rh * sin
         out_refs[s][...] = sec
 
 
