@@ -100,6 +100,11 @@ class ALIKEDExtractor(ExtractorBase):
                 scores=feats["scores"],
                 image_size=np.array([w, h], np.int64),
             )
+            self._cache_put(
+                img.name, keypoints=kpts,
+                descriptors=feats["descriptors"], scores=feats["scores"],
+                image_size=np.array([w, h], np.int64),
+            )
 
     # ALIKED's SMH/SDDH head upsamples block features to full input
     # resolution, so HBM scales with batch * pixels: cap the device batch by

@@ -51,6 +51,46 @@ class ExtractorBase:
         )
         self.tile_size = general.get("tile_size", (2400, 2000))
         self.tile_overlap = general.get("tile_overlap", 10)
+        # In-memory extract->match handoff (set to {} by ImageMatcher):
+        # features.h5 stays the durable stage artifact, but the matcher in
+        # the same process reads from here instead of decompressing the file
+        # it just wrote (gzip h5 re-read measured 0.8 s for 16 images on the
+        # 1-core host — pure overhead the reference pays too via its
+        # per-pair ``get_features`` h5 reads, ``matcher_base.py:221-222``).
+        self.feature_cache: Optional[Dict[str, FeaturesDict]] = None
+
+    def _cache_put(
+        self,
+        name: str,
+        keypoints: np.ndarray,
+        descriptors: Optional[np.ndarray] = None,
+        scores: Optional[np.ndarray] = None,
+        tile_idx: Optional[np.ndarray] = None,
+        image_size: Optional[np.ndarray] = None,
+        n_valid: Optional[int] = None,
+    ) -> None:
+        """Mirror one image's features into ``feature_cache`` with EXACTLY
+        the values an h5 round trip would produce (float16 descriptor/score
+        storage, ``io/h5.py::save_features``) so cached and re-read runs are
+        bitwise identical."""
+        if self.feature_cache is None:
+            return
+        kpts = np.asarray(keypoints)
+        n = len(kpts) if n_valid is None else n_valid
+        entry: FeaturesDict = {"keypoints": kpts[:n].astype(np.float32)}
+        if descriptors is not None:
+            d = np.asarray(descriptors)
+            d = d[:n] if d.shape[0] == kpts.shape[0] else d[:, :n].T
+            entry["descriptors"] = d.astype(np.float16).astype(np.float32)
+        if scores is not None:
+            entry["scores"] = (
+                np.asarray(scores)[:n].astype(np.float16).astype(np.float32)
+            )
+        if tile_idx is not None:
+            entry["tile_idx"] = np.asarray(tile_idx)[:n].astype(np.float32)
+        if image_size is not None:
+            entry["image_size"] = np.asarray(image_size).astype(np.int64)
+        self.feature_cache[name] = entry
 
     # ------------------------------------------------------------------ API
     def extract(self, img: Union[Image, Path, str]) -> FeaturesDict:
@@ -77,6 +117,14 @@ class ExtractorBase:
         feats = self.extract(img)
         save_features(
             feature_path,
+            img.name,
+            keypoints=feats["keypoints"],
+            descriptors=feats.get("descriptors"),
+            scores=feats.get("scores"),
+            tile_idx=feats.get("tile_idx"),
+            image_size=feats["image_size"],
+        )
+        self._cache_put(
             img.name,
             keypoints=feats["keypoints"],
             descriptors=feats.get("descriptors"),

@@ -81,6 +81,13 @@ class SuperPointExtractor(ExtractorBase):
                     scores=feats["scores"],
                     image_size=np.array([w, h], np.int64),
                 )
+                self._cache_put(
+                    img.name,
+                    keypoints=kpts,
+                    descriptors=feats["descriptors"],
+                    scores=feats["scores"],
+                    image_size=np.array([w, h], np.int64),
+                )
 
     def _extract(self, image: np.ndarray) -> FeaturesDict:
         """Single image/tile path (used by the tiling template)."""

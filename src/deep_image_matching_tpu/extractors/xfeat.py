@@ -128,6 +128,12 @@ class XFeatExtractor(ExtractorBase):
                         scores=out["scores"][j][m],
                         image_size=np.array([w, h], np.int64),
                     )
+                    self._cache_put(
+                        img.name, keypoints=kpts,
+                        descriptors=out["descriptors"][j][m],
+                        scores=out["scores"][j][m],
+                        image_size=np.array([w, h], np.int64),
+                    )
 
     def _extract(self, image: np.ndarray) -> FeaturesDict:
         import jax.numpy as jnp

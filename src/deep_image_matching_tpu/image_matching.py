@@ -105,6 +105,9 @@ class ImageMatcher:
         h5 artifacts are the stage boundaries; the reference lacks this,
         see its ``config.py:545-559``)."""
         feature_path = self.output_dir / "features.h5"
+        # arm the in-memory extract->match handoff (h5 remains the durable
+        # artifact; the matcher falls back to it per-image when not cached)
+        self.extractor.feature_cache = {}
         if feature_path.exists():
             if self.config.general.get("resume"):
                 from .io.h5 import list_h5_names
@@ -142,6 +145,9 @@ class ImageMatcher:
             for p in (match_path, raw_path):
                 if p.exists():
                     p.unlink()
+        self.matcher.feature_cache = getattr(
+            self.extractor, "feature_cache", None
+        )
         results = self.matcher.match_all(pairs, feature_path, match_path)
         kept = sum(1 for v in results.values() if v > 0)
         logger.info(

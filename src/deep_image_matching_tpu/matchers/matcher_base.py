@@ -48,6 +48,36 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+_PACK_JITS: Dict[bool, object] = {}
+
+
+def _pack_match_results(matches0, valid, inl=None):
+    """Pack a chunk's (matches0 int32, valid bool[, inl bool]) — all (B, K)
+    — into one int32 array: bits 15:0 = match index (K <= 65535; unmatched
+    rows carry garbage there and are never read — ``valid`` gates every
+    consumer), bit 16 = valid, bit 17 = inlier. One device->host transfer
+    per chunk instead of three (each transfer pays a round trip)."""
+    import jax
+    import jax.numpy as jnp
+
+    with_inl = inl is not None
+    fn = _PACK_JITS.get(with_inl)
+    if fn is None:
+        if with_inl:
+            def _pack(m, v, i):
+                return (
+                    (m & 0xFFFF)
+                    | (v.astype(jnp.int32) << 16)
+                    | (i.astype(jnp.int32) << 17)
+                )
+        else:
+            def _pack(m, v):
+                return (m & 0xFFFF) | (v.astype(jnp.int32) << 16)
+        fn = jax.jit(_pack)
+        _PACK_JITS[with_inl] = fn
+    return fn(matches0, valid, inl) if with_inl else fn(matches0, valid)
+
+
 class MatcherBase:
     default_conf: Dict = {}
 
@@ -65,6 +95,11 @@ class MatcherBase:
             general.get("min_inlier_ratio_per_pair", 0.15)
         )
         self.tpu = dict(general.get("tpu", {}))
+        # in-memory extract->match handoff, set by ImageMatcher: per-image
+        # FeaturesDicts with h5-roundtrip-exact values (f16 desc/scores) so
+        # the padded store skips re-reading the gzip features.h5 the same
+        # process just wrote; any image absent here falls back to the file
+        self.feature_cache: Optional[Dict[str, Dict[str, np.ndarray]]] = None
         # persistent-handle h5 writer, set for the duration of match_all
         self._writer: Optional[MatchWriter] = None
         # persistent features.h5 handle (detector-free appends)
@@ -242,7 +277,7 @@ class BatchedMatcher(MatcherBase):
         if not pairs:
             return {}
         names = sorted({n for p in pairs for n in p})
-        store = _PaddedFeatureStore(feature_path, names)
+        store = _PaddedFeatureStore(feature_path, names, cache=self.feature_cache)
         from ..constants import TileSelection
 
         tile_mode = self.config.get("general", {}).get(
@@ -411,18 +446,22 @@ class BatchedMatcher(MatcherBase):
                 self.gv_threshold * GV_QUALITY_SCALES[self.quality],
                 iters=int(self.tpu.get("ransac_iters", 2048)),
             )
-        # start the device->host copies NOW: they complete in the transfer
+        # pack (matches0, valid[, inl]) into ONE int32 array so the chunk
+        # costs a single device->host transfer instead of three — each
+        # transfer pays a full round trip (measured 46 ms/array through the
+        # tunnel; PCIe hosts still pay per-transfer latency). Lossless:
+        # match indices use 16 bits (K <= 65535), flags the bits above.
+        packed = _pack_match_results(matches0, valid, inl)
+        # start the device->host copy NOW: it completes in the transfer
         # stream while the next chunk computes, so _finish_chunk's
         # device_get hits host memory instead of paying compute + download
-        # latency serially (significant when the device sits behind a
-        # network tunnel)
-        for arr in (matches0, valid, inl):
-            if hasattr(arr, "copy_to_host_async"):
-                try:
-                    arr.copy_to_host_async()
-                except Exception:
-                    pass
-        return idx0, idx1, matches0, valid, inl
+        # latency serially
+        if hasattr(packed, "copy_to_host_async"):
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+        return idx0, idx1, packed, inl is not None
 
     def _finish_chunk(
         self, chunk, disp, store, matches_path, use_device_gv, results
@@ -430,16 +469,13 @@ class BatchedMatcher(MatcherBase):
         import jax
         import jax.numpy as jnp
 
-        idx0, idx1, matches0, valid, inl = disp
+        idx0, idx1, packed, has_inl = disp
         B = len(chunk)
-        if inl is not None:
-            # fused path: ONE materialization point for the whole chunk
-            matches0, valid, inl = jax.device_get((matches0, valid, inl))
-            inl = np.asarray(inl)[:B]
-        else:
-            matches0, valid = jax.device_get((matches0, valid))
-        matches0 = np.asarray(matches0)[:B]
-        valid = np.asarray(valid)[:B]
+        # ONE materialization point for the whole chunk (see _dispatch_chunk)
+        packed = np.asarray(jax.device_get(packed))[:B]
+        matches0 = (packed & 0xFFFF).astype(np.int32)
+        valid = ((packed >> 16) & 1).astype(bool)
+        inl = ((packed >> 17) & 1).astype(bool) if has_inl else None
 
         if use_device_gv and inl is None:
             # mesh / host-gather paths: batch RANSAC from host arrays
@@ -670,12 +706,18 @@ class BatchedMatcher(MatcherBase):
 class _PaddedFeatureStore:
     """All images' features in fixed-capacity padded arrays (host memory)."""
 
-    def __init__(self, feature_path, names: List[str]):
-        known = set(list_h5_names(feature_path))
-        missing = [n for n in names if n not in known]
+    def __init__(self, feature_path, names: List[str], cache=None):
+        cache = cache or {}
+        known = set(list_h5_names(feature_path)) if any(
+            n not in cache for n in names
+        ) else set()
+        missing = [n for n in names if n not in known and n not in cache]
         if missing:
             raise ValueError(f"Features missing for {missing[:5]}...")
-        feats = [get_features(feature_path, n) for n in names]
+        feats = [
+            cache[n] if n in cache else get_features(feature_path, n)
+            for n in names
+        ]
         counts = [len(f["keypoints"]) for f in feats]
         cap = _round_up(max(max(counts), 1), KPT_PAD_MULTIPLE)
         dims = [
