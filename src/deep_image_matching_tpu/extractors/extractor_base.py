@@ -34,6 +34,30 @@ logger = logging.getLogger("dim_tpu")
 FeaturesDict = Dict[str, np.ndarray]
 
 
+class DeviceFeatureHandoff:
+    """Extraction results that never left the accelerator.
+
+    Between extract and match the descriptors only need to exist in HBM —
+    the host copy is needed solely for the durable features.h5, which an
+    async writer thread materializes in the background while matching runs.
+    The matcher's padded feature store builds its device store directly from
+    ``dev`` (f16-roundtripped values, so h5-reload runs are bit-identical)
+    and keeps only the small host mirrors (keypoints, counts, image sizes)
+    the verification/gating host code needs.
+    """
+
+    def __init__(self, names, counts, kpts, image_size, dev):
+        self.names = list(names)
+        self.index = {n: i for i, n in enumerate(self.names)}
+        self.counts = counts          # (n,) int32, host
+        self.kpts = kpts              # (n, K, 2) f32, host, full-res coords
+        self.image_size = image_size  # (n, 2) int64, host
+        self.dev = dev                # device dict: keypoints/descriptors/scores/mask
+
+    def covers(self, names) -> bool:
+        return all(n in self.index for n in names)
+
+
 class ExtractorBase:
     default_conf: Dict = {}
     grayscale: bool = True
@@ -58,6 +82,20 @@ class ExtractorBase:
         # 1-core host — pure overhead the reference pays too via its
         # per-pair ``get_features`` h5 reads, ``matcher_base.py:221-222``).
         self.feature_cache: Optional[Dict[str, FeaturesDict]] = None
+        # device-resident handoff (TPU fast path, set by extract_batch
+        # overrides that support it) + its deferred h5 writer: features.h5
+        # materializes on a background thread while matching runs; call
+        # ``flush()`` before reading the file (ImageMatcher does after
+        # match_pairs)
+        self.device_handoff: Optional[DeviceFeatureHandoff] = None
+        self._pending_writer = None
+
+    def flush(self) -> None:
+        """Join the deferred features.h5 writer (no-op when none pending).
+        After this returns, features.h5 is complete on disk."""
+        w, self._pending_writer = self._pending_writer, None
+        if w is not None:
+            w.close()
 
     def _cache_put(
         self,

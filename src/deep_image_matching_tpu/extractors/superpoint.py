@@ -9,6 +9,7 @@ batches are padded and extracted in one fused jitted program
 
 from __future__ import annotations
 
+import logging
 from typing import List
 
 import numpy as np
@@ -18,6 +19,8 @@ from ..io.h5 import save_features
 from ..models.superpoint import SuperPointRunner, load_default_params
 from ..utils.image import Image, read_image, resize_image
 from .extractor_base import ExtractorBase, FeaturesDict
+
+logger = logging.getLogger("dim_tpu")
 
 
 class SuperPointExtractor(ExtractorBase):
@@ -60,6 +63,8 @@ class SuperPointExtractor(ExtractorBase):
                 arr = resize_image(arr, (max(nw, 1), max(nh, 1)))
             # scale factors back to full res handled via orig size below
             prepped.append((arr, arr.shape[0] / h, (w, h)))
+        if self._try_extract_batch_device(images, prepped, feature_path):
+            return
         # runner rescales keypoints by 1/scale; our scale is isotropic only
         # when quality resize preserves aspect (it does: both dims scaled by
         # the same quality factor modulo rounding). Use exact per-axis
@@ -88,6 +93,102 @@ class SuperPointExtractor(ExtractorBase):
                     scores=feats["scores"],
                     image_size=np.array([w, h], np.int64),
                 )
+
+    def _try_extract_batch_device(self, images, prepped, feature_path) -> bool:
+        """Device-resident extract->match handoff (TPU fast path).
+
+        Descriptors never leave HBM between extraction and matching: the
+        matcher's device store is built straight from these arrays, while a
+        background writer thread downloads and gzips features.h5 during the
+        match stage (``ExtractorBase.flush()`` joins it). Values are
+        f16-roundtripped on device, so a run that reloads the h5 instead is
+        bit-identical. Only armed when ImageMatcher set ``feature_cache``
+        (orchestrated pipeline), on an accelerator, on a 1-device mesh (the
+        mesh path gathers pair batches on host).
+        """
+        import os
+
+        import jax
+
+        if self.feature_cache is None:
+            return False
+        force = os.environ.get("DIM_TPU_FORCE_DEVICE_HANDOFF") == "1"
+        if jax.default_backend() == "cpu" and not force:
+            return False
+        from ..parallel.mesh import get_default_mesh
+
+        if get_default_mesh().n_devices > 1:
+            return False
+        try:
+            import jax.numpy as jnp
+
+            from ..io.writer import AsyncFeatureWriter
+            from .extractor_base import DeviceFeatureHandoff
+
+            chunks = self._runner.extract_arrays_device(
+                [(arr, 1.0, orig) for arr, _, orig in prepped]
+            )
+            order = np.concatenate([np.asarray(c, np.int64) for c, _ in chunks])
+            perm = jnp.asarray(np.argsort(order).astype(np.int32))
+            cat = {
+                k: jnp.take(
+                    jnp.concatenate([out[k] for _, out in chunks], axis=0),
+                    perm, axis=0,
+                )
+                for k in ("keypoints", "descriptors", "scores", "mask")
+            }
+            # full-res coords on device (f32 multiply is bitwise identical
+            # to the host-path rescale) + the h5 storage-f16 roundtrip so a
+            # reloaded run matches this one exactly
+            fac = np.array(
+                [
+                    (w / arr.shape[1], h / arr.shape[0])
+                    for arr, _, (w, h) in prepped
+                ],
+                np.float32,
+            )
+            dev = {
+                "keypoints": cat["keypoints"] * jnp.asarray(fac)[:, None, :],
+                "descriptors": cat["descriptors"].astype(jnp.float32),
+                "scores": cat["scores"].astype(jnp.float16).astype(jnp.float32),
+                "mask": cat["mask"],
+            }
+            # small host mirrors (verification/gating need keypoints+counts)
+            kpts_h, counts = jax.device_get(
+                (dev["keypoints"], cat["mask"].sum(axis=1))
+            )
+            kpts_h = np.asarray(kpts_h)
+            counts = np.asarray(counts).astype(np.int32)
+            image_size = np.array([wh for _, _, wh in prepped], np.int64)
+            self.device_handoff = DeviceFeatureHandoff(
+                names=[img.name for img in images],
+                counts=counts, kpts=kpts_h, image_size=image_size, dev=dev,
+            )
+            # deferred h5: the writer thread downloads desc/scores rows and
+            # writes gzip f16 while the match stage runs
+            writer = AsyncFeatureWriter(feature_path)
+            try:
+                for i, img in enumerate(images):
+                    writer.put(
+                        img.name,
+                        keypoints=kpts_h[i],
+                        descriptors=dev["descriptors"][i],
+                        scores=dev["scores"][i],
+                        image_size=image_size[i],
+                        n_valid=int(counts[i]),
+                    )
+            except BaseException:
+                writer.close()
+                raise
+            self._pending_writer = writer
+            return True
+        except Exception as e:
+            logger.warning(
+                f"Device feature handoff unavailable "
+                f"({type(e).__name__}: {e}); using the host path"
+            )
+            self.device_handoff = None
+            return False
 
     def _extract(self, image: np.ndarray) -> FeaturesDict:
         """Single image/tile path (used by the tiling template)."""

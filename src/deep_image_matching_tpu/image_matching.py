@@ -148,7 +148,21 @@ class ImageMatcher:
         self.matcher.feature_cache = getattr(
             self.extractor, "feature_cache", None
         )
-        results = self.matcher.match_all(pairs, feature_path, match_path)
+        handoff = getattr(self.extractor, "device_handoff", None)
+        names = {n for p in pairs for n in p}
+        if handoff is not None and not handoff.covers(names):
+            # partial handoff (e.g. resume extracted only missing images):
+            # matching will read features.h5, so the deferred writer must
+            # finish first
+            self.extractor.flush()
+            handoff = None
+        self.matcher.device_handoff = handoff
+        try:
+            results = self.matcher.match_all(pairs, feature_path, match_path)
+        finally:
+            # features.h5 is complete on disk from here on (exports,
+            # rotate_back, and any user read rely on it)
+            self.extractor.flush()
         kept = sum(1 for v in results.values() if v > 0)
         logger.info(
             f"Matched {kept}/{len(pairs)} pairs passed verification "

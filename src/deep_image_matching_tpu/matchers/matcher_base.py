@@ -100,6 +100,10 @@ class MatcherBase:
         # the padded store skips re-reading the gzip features.h5 the same
         # process just wrote; any image absent here falls back to the file
         self.feature_cache: Optional[Dict[str, Dict[str, np.ndarray]]] = None
+        # device-resident handoff from the extractor (TPU fast path), set by
+        # ImageMatcher; the padded store builds its device arrays from it
+        # and features.h5 is never re-read in-process
+        self.device_handoff = None
         # persistent-handle h5 writer, set for the duration of match_all
         self._writer: Optional[MatchWriter] = None
         # persistent features.h5 handle (detector-free appends)
@@ -277,7 +281,10 @@ class BatchedMatcher(MatcherBase):
         if not pairs:
             return {}
         names = sorted({n for p in pairs for n in p})
-        store = _PaddedFeatureStore(feature_path, names, cache=self.feature_cache)
+        store = _PaddedFeatureStore(
+            feature_path, names, cache=self.feature_cache,
+            device_handoff=getattr(self, "device_handoff", None),
+        )
         from ..constants import TileSelection
 
         tile_mode = self.config.get("general", {}).get(
@@ -706,7 +713,12 @@ class BatchedMatcher(MatcherBase):
 class _PaddedFeatureStore:
     """All images' features in fixed-capacity padded arrays (host memory)."""
 
-    def __init__(self, feature_path, names: List[str], cache=None):
+    def __init__(self, feature_path, names: List[str], cache=None,
+                 device_handoff=None):
+        self._lazy_dev = None
+        if device_handoff is not None and device_handoff.covers(names):
+            self._init_from_handoff(device_handoff, names)
+            return
         cache = cache or {}
         known = set(list_h5_names(feature_path)) if any(
             n not in cache for n in names
@@ -751,6 +763,41 @@ class _PaddedFeatureStore:
             self.mask[i, :c] = True
             if "image_size" in f:
                 self.image_size[i] = f["image_size"]
+
+    def _init_from_handoff(self, handoff, names: List[str]) -> None:
+        """Build the store from a DeviceFeatureHandoff: descriptors/scores/
+        mask stay on device (where matching consumes them); host mirrors of
+        the big arrays are materialized lazily, only if a fallback path
+        (mesh gather, device-store failure) actually needs them."""
+        import jax.numpy as jnp
+
+        rows = np.asarray([handoff.index[n] for n in names], np.int32)
+        self.index = {n: i for i, n in enumerate(names)}
+        self.counts = handoff.counts[rows]
+        self.kpts = handoff.kpts[rows]
+        self.image_size = handoff.image_size[rows]
+        cap = handoff.kpts.shape[1]
+        self.tile_idx = np.full((len(names), cap), -1.0, np.float32)
+        self.has_tiles = False
+        ind = jnp.asarray(rows)
+        self._dev = {
+            k: jnp.take(v, ind, axis=0) for k, v in handoff.dev.items()
+        }
+        self._dev["image_size"] = jnp.asarray(self.image_size)
+        self._lazy_dev = ("descriptors", "scores", "mask")
+
+    def __getattr__(self, name):
+        # lazy host mirrors for the handoff-built store (fallback paths)
+        if name in ("desc", "scores", "mask") and self.__dict__.get("_lazy_dev"):
+            import jax
+
+            key = {"desc": "descriptors"}.get(name, name)
+            val = np.asarray(jax.device_get(self.__dict__["_dev"][key]))
+            if name == "desc":
+                val = val.astype(np.float32)
+            setattr(self, name, val)
+            return val
+        raise AttributeError(name)
 
     def _all_full(self, idx: np.ndarray) -> bool:
         """Host-side check that every gathered image fills its padded

@@ -228,16 +228,16 @@ class SuperPointRunner:
             prepped.append((img, scale, (w, h)))
         return self.extract_arrays(prepped)
 
-    def extract_arrays(self, prepped) -> list:
-        """prepped: list of (image (h,w) uint8 or float in [0,1], scale,
-        orig (w,h))."""
+    def _iter_dispatch(self, prepped):
+        """Yield (chunk_indices, device_out) per dispatched batch; outputs
+        stay on device (descriptors pre-cast to f16 — the h5 storage dtype —
+        so any download moves half the bytes)."""
         pad_to = 64  # shape-bucket granularity (multiple of 8)
         buckets: Dict[Tuple[int, int], list] = {}
         for i, (img, _, _) in enumerate(prepped):
             h, w = img.shape
             key = (-(-h // pad_to) * pad_to, -(-w // pad_to) * pad_to)
             buckets.setdefault(key, []).append(i)
-        results = [None] * len(prepped)
         batch_dtype = (
             np.uint8
             if all(p[0].dtype == np.uint8 for p in prepped)
@@ -265,13 +265,26 @@ class SuperPointRunner:
             # descriptors are stored float16 in features.h5 anyway — cast on
             # device so the download moves half the bytes
             out["descriptors"] = out["descriptors"].astype(jnp.float16)
-            for v in out.values():
-                if hasattr(v, "copy_to_host_async"):
-                    try:
-                        v.copy_to_host_async()
-                    except Exception:
-                        pass
             return out
+
+        for (ph, pw), idxs in buckets.items():
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start : start + self.batch_size]
+                yield chunk, _dispatch(chunk)
+
+    def extract_arrays_device(self, prepped) -> list:
+        """Device-resident variant: returns [(chunk_indices, out)], where
+        ``out`` holds padded DEVICE arrays — keypoints (B,K,2) in
+        resized-image coords, scores (B,K), descriptors (B,K,D) f16,
+        mask (B,K) (prefix-valid: top-k sorts real scores above the -1
+        sentinels, ``ops/detect.py::select_topk``). Nothing is downloaded;
+        the caller owns materialization."""
+        return list(self._iter_dispatch(prepped))
+
+    def extract_arrays(self, prepped) -> list:
+        """prepped: list of (image (h,w) uint8 or float in [0,1], scale,
+        orig (w,h))."""
+        results = [None] * len(prepped)
 
         def _finish(chunk, out):
             out = jax.device_get(out)  # one materialization per chunk
@@ -289,12 +302,16 @@ class SuperPointRunner:
         # download overlaps batch N+1..N+3's upload + compute instead of
         # serializing dispatch -> blocking download per chunk
         window: list = []
-        for (ph, pw), idxs in buckets.items():
-            for start in range(0, len(idxs), self.batch_size):
-                chunk = idxs[start : start + self.batch_size]
-                window.append((chunk, _dispatch(chunk)))
-                if len(window) >= 4:
-                    _finish(*window.pop(0))
+        for chunk, out in self._iter_dispatch(prepped):
+            for v in out.values():
+                if hasattr(v, "copy_to_host_async"):
+                    try:
+                        v.copy_to_host_async()
+                    except Exception:
+                        pass
+            window.append((chunk, out))
+            if len(window) >= 4:
+                _finish(*window.pop(0))
         for job in window:
             _finish(*job)
         return results

@@ -83,3 +83,60 @@ def test_sp_lg_shifted_pair_verifies(tmp_path, image_dir):
     dy = k0[m[:, 0], 1] - k1[m[:, 1], 1]
     assert abs(np.median(dx) - shift) < 2.0
     assert abs(np.median(dy)) < 2.0
+
+
+def test_device_handoff_bitwise_equals_h5_path(project_dir, monkeypatch):
+    """The device-resident extract->match handoff must produce bit-identical
+    features.h5 AND matches vs the reload-from-h5 path (the handoff applies
+    the same f16 storage roundtrip on device)."""
+    import h5py
+
+    def _tree(path):
+        out = {}
+        with h5py.File(path, "r") as f:
+            def visit(name, obj):
+                if isinstance(obj, h5py.Dataset):
+                    out[name] = np.asarray(obj)
+            f.visititems(visit)
+        return out
+
+    # pin a 1-device mesh: the handoff is a single-accelerator fast path
+    # (the mesh branch gathers pair batches on host) and both runs must
+    # differ ONLY in the handoff
+    import jax
+
+    from deep_image_matching_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(
+        mesh_mod, "_DEFAULT_MESH", mesh_mod.MeshRunner(jax.devices()[:1])
+    )
+
+    monkeypatch.setenv("DIM_TPU_FORCE_DEVICE_HANDOFF", "1")
+    cfg1, f1, m1 = _run(project_dir, outs=str(project_dir / "out_handoff"))
+    # the handoff must actually have engaged (guards against silently
+    # falling back and comparing identical code paths)
+    from deep_image_matching_tpu.extractors.superpoint import SuperPointExtractor
+
+    engaged = {"n": 0}
+    orig = SuperPointExtractor._try_extract_batch_device
+
+    def spy(self, *a, **k):
+        ok = orig(self, *a, **k)
+        engaged["n"] += int(ok)
+        return ok
+
+    monkeypatch.setattr(SuperPointExtractor, "_try_extract_batch_device", spy)
+    cfg1, f1, m1 = _run(project_dir, outs=str(project_dir / "out_handoff"))
+    assert engaged["n"] == 1, "device handoff did not engage"
+    monkeypatch.delenv("DIM_TPU_FORCE_DEVICE_HANDOFF")
+    cfg2, f2, m2 = _run(project_dir, outs=str(project_dir / "out_h5"))
+
+    t1, t2 = _tree(f1), _tree(f2)
+    assert t1.keys() == t2.keys()
+    for k in t1:
+        np.testing.assert_array_equal(t1[k], t2[k], err_msg=k)
+    r1 = _tree(m1.parent / "raw_matches.h5")
+    r2 = _tree(m2.parent / "raw_matches.h5")
+    assert r1.keys() == r2.keys()
+    for k in r1:
+        np.testing.assert_array_equal(r1[k], r2[k], err_msg=k)
