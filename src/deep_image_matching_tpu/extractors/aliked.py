@@ -89,6 +89,27 @@ class ALIKEDExtractor(ExtractorBase):
                 nw, nh = get_size_by_quality(self.quality, (w, h))
                 arr = resize_image(arr, (max(nw, 1), max(nh, 1)))
             prepped.append((arr, (w, h)))
+        if self._device_handoff_allowed():
+            dev_chunks: list = []
+            try:
+                self._run(prepped, dev_sink=dev_chunks)
+                fac = np.array(
+                    [(w / a.shape[1], h / a.shape[0]) for a, (w, h) in prepped],
+                    np.float32,
+                )
+                self._arm_device_handoff(
+                    names=[img.name for img in images],
+                    chunks=dev_chunks, fac=fac,
+                    image_size=[wh for _, wh in prepped],
+                    feature_path=feature_path,
+                )
+                return
+            except Exception as e:
+                logger.warning(
+                    f"Device feature handoff unavailable "
+                    f"({type(e).__name__}: {e}); using the host path"
+                )
+                self.device_handoff = None
         results = self._run(prepped)
         for img, (arr, (w, h)), feats in zip(images, prepped, results):
             ah, aw = arr.shape[:2]
@@ -113,7 +134,7 @@ class ALIKEDExtractor(ExtractorBase):
     # matcher_base.py:246-256; for extraction a smaller batch suffices)
     pixel_budget = 4_200_000
 
-    def _run(self, prepped) -> list:
+    def _run(self, prepped, dev_sink: list | None = None) -> list:
         pad_to = 32
         buckets: Dict[tuple, list] = {}
         for i, (arr, _) in enumerate(prepped):
@@ -133,7 +154,8 @@ class ALIKEDExtractor(ExtractorBase):
                 chunk = idxs[start : start + bsz]
                 try:
                     self._run_chunk(
-                        chunk, prepped, (ph, pw), batch_dtype, results
+                        chunk, prepped, (ph, pw), batch_dtype, results,
+                        dev_sink=dev_sink,
                     )
                     start += len(chunk)
                 except Exception as e:
@@ -148,7 +170,8 @@ class ALIKEDExtractor(ExtractorBase):
                     )
         return results
 
-    def _run_chunk(self, chunk, prepped, phw, batch_dtype, results) -> None:
+    def _run_chunk(self, chunk, prepped, phw, batch_dtype, results,
+                   dev_sink: list | None = None) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -175,6 +198,13 @@ class ALIKEDExtractor(ExtractorBase):
                 "bfloat16" if jax.default_backend() != "cpu" else "float32",
             )),
         )
+        if dev_sink is not None:
+            # device-handoff mode: keep outputs on device; force execution
+            # with a tiny download so the OOM-bisection retry in _run still
+            # sees RESOURCE_EXHAUSTED at this chunk
+            np.asarray(out["mask"].sum())
+            dev_sink.append((chunk, out))
+            return
         out = {k: np.asarray(v) for k, v in out.items()}
         for j, i in enumerate(chunk):
             m = out["mask"][j]

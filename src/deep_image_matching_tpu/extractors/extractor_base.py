@@ -97,6 +97,93 @@ class ExtractorBase:
         if w is not None:
             w.close()
 
+    def _device_handoff_allowed(self) -> bool:
+        """Device-resident handoff preconditions: orchestrated by
+        ImageMatcher (feature_cache armed), an accelerator backend (or the
+        test override), a 1-device mesh (the mesh path gathers pair batches
+        on host), and no tiling (tiles go through the per-image template)."""
+        import os
+
+        if self.feature_cache is None:
+            return False
+        if self.tile_selection is not TileSelection.NONE:
+            return False
+        import jax
+
+        force = os.environ.get("DIM_TPU_FORCE_DEVICE_HANDOFF") == "1"
+        if jax.default_backend() == "cpu" and not force:
+            return False
+        from ..parallel.mesh import get_default_mesh
+
+        return get_default_mesh().n_devices == 1
+
+    def _arm_device_handoff(
+        self, names, chunks, fac, image_size, feature_path
+    ) -> None:
+        """Assemble a DeviceFeatureHandoff from per-chunk padded DEVICE
+        outputs and defer the features.h5 write to a background thread.
+
+        chunks: [(original_indices, out)] where out holds device arrays
+        ``keypoints (B,K,2)`` in model-input coords, ``descriptors (B,K,D)``
+        (f16 or f32), ``scores (B,K)``, ``mask (B,K)`` with valid rows as a
+        prefix. fac: (n,2) f32 per-image (sx,sy) full-res rescale factors.
+        image_size: (n,2) int64. Raises on failure — callers fall back to
+        their host path.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..io.writer import AsyncFeatureWriter
+
+        order = np.concatenate([np.asarray(c, np.int64) for c, _ in chunks])
+        perm = jnp.asarray(np.argsort(order).astype(np.int32))
+        cat = {
+            k: jnp.take(
+                jnp.concatenate([out[k] for _, out in chunks], axis=0),
+                perm, axis=0,
+            )
+            for k in ("keypoints", "descriptors", "scores", "mask")
+        }
+        # full-res coords on device (f32 multiply is bitwise identical to
+        # the host-path rescale) + the h5 storage-f16 roundtrip so a
+        # reloaded run matches this one exactly
+        dev = {
+            "keypoints": cat["keypoints"] * jnp.asarray(fac)[:, None, :],
+            "descriptors": (
+                cat["descriptors"].astype(jnp.float16).astype(jnp.float32)
+            ),
+            "scores": cat["scores"].astype(jnp.float16).astype(jnp.float32),
+            "mask": cat["mask"],
+        }
+        # small host mirrors (verification/gating need keypoints + counts)
+        kpts_h, counts = jax.device_get(
+            (dev["keypoints"], cat["mask"].sum(axis=1))
+        )
+        kpts_h = np.asarray(kpts_h)
+        counts = np.asarray(counts).astype(np.int32)
+        image_size = np.asarray(image_size, np.int64)
+        self.device_handoff = DeviceFeatureHandoff(
+            names=names, counts=counts, kpts=kpts_h,
+            image_size=image_size, dev=dev,
+        )
+        # deferred h5: the writer thread downloads descriptor/score rows and
+        # writes gzip f16 while the match stage runs
+        writer = AsyncFeatureWriter(feature_path)
+        try:
+            for i, name in enumerate(names):
+                writer.put(
+                    name,
+                    keypoints=kpts_h[i],
+                    descriptors=dev["descriptors"][i],
+                    scores=dev["scores"][i],
+                    image_size=image_size[i],
+                    n_valid=int(counts[i]),
+                )
+        except BaseException:
+            writer.close()
+            raise
+        self._pending_writer = writer
+
     def _cache_put(
         self,
         name: str,

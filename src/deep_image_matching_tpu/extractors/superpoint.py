@@ -106,40 +106,12 @@ class SuperPointExtractor(ExtractorBase):
         (orchestrated pipeline), on an accelerator, on a 1-device mesh (the
         mesh path gathers pair batches on host).
         """
-        import os
-
-        import jax
-
-        if self.feature_cache is None:
-            return False
-        force = os.environ.get("DIM_TPU_FORCE_DEVICE_HANDOFF") == "1"
-        if jax.default_backend() == "cpu" and not force:
-            return False
-        from ..parallel.mesh import get_default_mesh
-
-        if get_default_mesh().n_devices > 1:
+        if not self._device_handoff_allowed():
             return False
         try:
-            import jax.numpy as jnp
-
-            from ..io.writer import AsyncFeatureWriter
-            from .extractor_base import DeviceFeatureHandoff
-
             chunks = self._runner.extract_arrays_device(
                 [(arr, 1.0, orig) for arr, _, orig in prepped]
             )
-            order = np.concatenate([np.asarray(c, np.int64) for c, _ in chunks])
-            perm = jnp.asarray(np.argsort(order).astype(np.int32))
-            cat = {
-                k: jnp.take(
-                    jnp.concatenate([out[k] for _, out in chunks], axis=0),
-                    perm, axis=0,
-                )
-                for k in ("keypoints", "descriptors", "scores", "mask")
-            }
-            # full-res coords on device (f32 multiply is bitwise identical
-            # to the host-path rescale) + the h5 storage-f16 roundtrip so a
-            # reloaded run matches this one exactly
             fac = np.array(
                 [
                     (w / arr.shape[1], h / arr.shape[0])
@@ -147,40 +119,12 @@ class SuperPointExtractor(ExtractorBase):
                 ],
                 np.float32,
             )
-            dev = {
-                "keypoints": cat["keypoints"] * jnp.asarray(fac)[:, None, :],
-                "descriptors": cat["descriptors"].astype(jnp.float32),
-                "scores": cat["scores"].astype(jnp.float16).astype(jnp.float32),
-                "mask": cat["mask"],
-            }
-            # small host mirrors (verification/gating need keypoints+counts)
-            kpts_h, counts = jax.device_get(
-                (dev["keypoints"], cat["mask"].sum(axis=1))
-            )
-            kpts_h = np.asarray(kpts_h)
-            counts = np.asarray(counts).astype(np.int32)
-            image_size = np.array([wh for _, _, wh in prepped], np.int64)
-            self.device_handoff = DeviceFeatureHandoff(
+            self._arm_device_handoff(
                 names=[img.name for img in images],
-                counts=counts, kpts=kpts_h, image_size=image_size, dev=dev,
+                chunks=chunks, fac=fac,
+                image_size=[wh for _, _, wh in prepped],
+                feature_path=feature_path,
             )
-            # deferred h5: the writer thread downloads desc/scores rows and
-            # writes gzip f16 while the match stage runs
-            writer = AsyncFeatureWriter(feature_path)
-            try:
-                for i, img in enumerate(images):
-                    writer.put(
-                        img.name,
-                        keypoints=kpts_h[i],
-                        descriptors=dev["descriptors"][i],
-                        scores=dev["scores"][i],
-                        image_size=image_size[i],
-                        n_valid=int(counts[i]),
-                    )
-            except BaseException:
-                writer.close()
-                raise
-            self._pending_writer = writer
             return True
         except Exception as e:
             logger.warning(

@@ -98,6 +98,33 @@ class XFeatExtractor(ExtractorBase):
             if all(p[0].dtype == np.uint8 for p in prepped)
             else np.float32
         )
+        use_handoff = self._device_handoff_allowed()
+        dev_chunks = []
+
+        def _finish_host(chunk, out):
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for j, i in enumerate(chunk):
+                m = out["mask"][j]
+                img = images[i]
+                arr, (w, h) = prepped[i]
+                ah, aw = arr.shape
+                kpts = out["keypoints"][j][m] * np.array(
+                    [w / aw, h / ah], np.float32
+                )
+                save_features(
+                    feature_path, img.name,
+                    keypoints=kpts,
+                    descriptors=out["descriptors"][j][m],
+                    scores=out["scores"][j][m],
+                    image_size=np.array([w, h], np.int64),
+                )
+                self._cache_put(
+                    img.name, keypoints=kpts,
+                    descriptors=out["descriptors"][j][m],
+                    scores=out["scores"][j][m],
+                    image_size=np.array([w, h], np.int64),
+                )
+
         for (ph, pw), idxs in buckets.items():
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start : start + self.batch_size]
@@ -112,28 +139,30 @@ class XFeatExtractor(ExtractorBase):
                     self.params, jnp.asarray(batch), jnp.asarray(vhw),
                     top_k=cap, detection_threshold=self.detection_threshold,
                 )
-                out = {k: np.asarray(v) for k, v in out.items()}
-                for j, i in enumerate(chunk):
-                    m = out["mask"][j]
-                    img = images[i]
-                    arr, (w, h) = prepped[i]
-                    ah, aw = arr.shape
-                    kpts = out["keypoints"][j][m] * np.array(
-                        [w / aw, h / ah], np.float32
-                    )
-                    save_features(
-                        feature_path, img.name,
-                        keypoints=kpts,
-                        descriptors=out["descriptors"][j][m],
-                        scores=out["scores"][j][m],
-                        image_size=np.array([w, h], np.int64),
-                    )
-                    self._cache_put(
-                        img.name, keypoints=kpts,
-                        descriptors=out["descriptors"][j][m],
-                        scores=out["scores"][j][m],
-                        image_size=np.array([w, h], np.int64),
-                    )
+                if use_handoff:
+                    dev_chunks.append((chunk, out))
+                else:
+                    _finish_host(chunk, out)
+        if use_handoff:
+            try:
+                fac = np.array(
+                    [(w / a.shape[1], h / a.shape[0]) for a, (w, h) in prepped],
+                    np.float32,
+                )
+                self._arm_device_handoff(
+                    names=[img.name for img in images],
+                    chunks=dev_chunks, fac=fac,
+                    image_size=[wh for _, wh in prepped],
+                    feature_path=feature_path,
+                )
+            except Exception as e:
+                logger.warning(
+                    f"Device feature handoff unavailable "
+                    f"({type(e).__name__}: {e}); using the host path"
+                )
+                self.device_handoff = None
+                for chunk, out in dev_chunks:
+                    _finish_host(chunk, out)
 
     def _extract(self, image: np.ndarray) -> FeaturesDict:
         import jax.numpy as jnp

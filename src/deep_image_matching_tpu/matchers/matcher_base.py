@@ -296,14 +296,17 @@ class BatchedMatcher(MatcherBase):
         use_device_gv = self._use_device_gv()
         results: Dict[Tuple[str, str], int] = {}
         # software pipelining: JAX dispatch is async, so issue chunk N+1's
-        # device program before materializing + verifying + writing chunk N
-        # — host GV (USAC) and h5 writes then overlap device compute instead
-        # of serializing after it (the reference's per-pair loop
-        # ``image_matching.py:467-487`` serializes all three).
+        # (and N+2's) device program before materializing + verifying +
+        # writing chunk N — host GV (USAC) and h5 writes overlap device
+        # compute instead of serializing after it (the reference's per-pair
+        # loop ``image_matching.py:467-487`` serializes all three). Two
+        # chunks deep so chunk N's device->host transfer also overlaps
+        # chunk N+1's compute (one-deep, finish(N) blocks on N's transfer
+        # the moment N's compute ends).
         with MatchWriter(matches_path) as writer:
             self._writer = writer
             try:
-                pending = None  # (chunk, dispatched device arrays)
+                window: list = []  # [(chunk, dispatched device arrays)]
                 for start in range(0, len(pairs), bsz):
                     chunk = pairs[start : start + bsz]
                     try:
@@ -314,20 +317,25 @@ class BatchedMatcher(MatcherBase):
                             f"({type(e).__name__}: {e}); running synchronously"
                         )
                         disp = None
-                    if pending is not None:
-                        self._finish_chunk_resilient(
-                            *pending, store, matches_path, use_device_gv, results
-                        )
-                        pending = None
                     if disp is None:
+                        while window:
+                            self._finish_chunk_resilient(
+                                *window.pop(0), store, matches_path,
+                                use_device_gv, results,
+                            )
                         self._match_chunk_resilient(
                             chunk, store, matches_path, use_device_gv, results
                         )
-                    else:
-                        pending = (chunk, disp)
-                if pending is not None:
+                        continue
+                    window.append((chunk, disp))
+                    if len(window) > 2:
+                        self._finish_chunk_resilient(
+                            *window.pop(0), store, matches_path,
+                            use_device_gv, results,
+                        )
+                for job in window:
                     self._finish_chunk_resilient(
-                        *pending, store, matches_path, use_device_gv, results
+                        *job, store, matches_path, use_device_gv, results
                     )
             finally:
                 self._writer = None
