@@ -48,6 +48,22 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+_TAKE_JIT = None
+
+
+def _take_rows(table, ind):
+    """jitted ``take(table, ind, axis=0)`` — with a replicated table and a
+    batch-sharded ``ind``, GSPMD shards the gathered batch without any
+    host staging."""
+    global _TAKE_JIT
+    if _TAKE_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        _TAKE_JIT = jax.jit(lambda v, i: jnp.take(v, i, axis=0))
+    return _TAKE_JIT(table, ind)
+
+
 _PACK_JITS: Dict[bool, object] = {}
 
 
@@ -415,12 +431,30 @@ class BatchedMatcher(MatcherBase):
         mesh = get_default_mesh()
         on_device_store = False
         if mesh.n_devices > 1:
-            batch0 = store.gather(idx0)
-            batch1 = store.gather(idx1)
-            full = batch0.pop("_full", None), batch1.pop("_full", None)
-            in0 = mesh.shard_batch(mesh.pad_batch(batch0))
-            in1 = mesh.shard_batch(mesh.pad_batch(batch1))
-            in0["_full"], in1["_full"] = full
+            if not getattr(store, "_device_failed", False):
+                # mesh-resident store: the padded per-image features are
+                # replicated across the mesh ONCE; each chunk gathers its
+                # pair batch on device from a sharded index vector, so the
+                # O(pairs) host->device batch re-uploads of the host-gather
+                # path disappear (the single-chip HBM store, generalized
+                # to SPMD — replicated table + batch-sharded take)
+                try:
+                    in0 = store.gather_device_mesh(idx0, mesh)
+                    in1 = store.gather_device_mesh(idx1, mesh)
+                    on_device_store = True
+                except Exception as e:
+                    store._device_failed = True
+                    logger.warning(
+                        f"Mesh feature store unavailable ({type(e).__name__}:"
+                        f" {e}); falling back to host-side batch gathers"
+                    )
+            if not on_device_store:
+                batch0 = store.gather(idx0)
+                batch1 = store.gather(idx1)
+                full = batch0.pop("_full", None), batch1.pop("_full", None)
+                in0 = mesh.shard_batch(mesh.pad_batch(batch0))
+                in1 = mesh.shard_batch(mesh.pad_batch(batch1))
+                in0["_full"], in1["_full"] = full
         elif jax.default_backend() != "cpu" and not getattr(
             store, "_device_failed", False
         ):
@@ -445,6 +479,8 @@ class BatchedMatcher(MatcherBase):
         else:
             in0 = store.gather(idx0)
             in1 = store.gather(idx1)
+        ind0 = in0.pop("_ind", None)
+        ind1 = in1.pop("_ind", None)
         matches0, valid = self._match_batch_arrays(in0, in1)
         inl = None
         if use_device_gv and on_device_store:
@@ -452,10 +488,14 @@ class BatchedMatcher(MatcherBase):
 
             from ..ops.ransac import ransac_fundamental_store_batch
 
+            if mesh.n_devices > 1:
+                kpts_table = store.device_mesh(mesh)["keypoints"]
+            else:
+                kpts_table = store.device()["keypoints"]
+                ind0 = jnp.asarray(np.asarray(idx0, np.int32))
+                ind1 = jnp.asarray(np.asarray(idx1, np.int32))
             inl = ransac_fundamental_store_batch(
-                store.device()["keypoints"],
-                jnp.asarray(np.asarray(idx0, np.int32)),
-                jnp.asarray(np.asarray(idx1, np.int32)),
+                kpts_table, ind0, ind1,
                 matches0, valid,
                 jax.random.PRNGKey(0),
                 self.gv_threshold * GV_QUALITY_SCALES[self.quality],
@@ -854,6 +894,48 @@ class _PaddedFeatureStore:
         ind = jnp.asarray(np.asarray(idx, np.int32))
         out = {k: jnp.take(v, ind, axis=0) for k, v in dev.items()}
         out["_full"] = self._all_full(np.asarray(idx))
+        return out
+
+    def device_mesh(self, mesh) -> Dict[str, "object"]:
+        """Mesh-replicated copy of the padded store, uploaded once — the
+        SPMD generalization of ``device()``: the feature table replicates
+        across the mesh and each chunk's pair batch assembles on device
+        from a batch-sharded index vector, so host->device traffic stays
+        O(images) instead of O(pairs)."""
+        if getattr(self, "_dev_mesh", None) is None:
+            import jax
+
+            host = {
+                "keypoints": self.kpts,
+                "descriptors": self.desc,
+                "scores": self.scores,
+                "mask": self.mask,
+                "image_size": self.image_size,
+            }
+            rep = mesh.replicated()
+            self._dev_mesh = {
+                k: jax.device_put(v, rep) for k, v in host.items()
+            }
+        return self._dev_mesh
+
+    def gather_device_mesh(self, idx: List[int], mesh) -> Dict[str, "object"]:
+        """Assemble a pair batch on the mesh: replicated table, sharded
+        index vector, sharded output (GSPMD propagates the take). The batch
+        is padded up to a mesh multiple with repeated rows; callers trim.
+        The padded sharded index rides along as ``_ind`` for programs that
+        chain further table gathers (device RANSAC)."""
+        import jax
+
+        dev = self.device_mesh(mesh)
+        arr = np.asarray(idx, np.int32)
+        n = mesh.n_devices
+        target = -(-len(arr) // n) * n
+        if target != len(arr):
+            arr = np.concatenate([arr, np.repeat(arr[-1:], target - len(arr))])
+        ind = jax.device_put(arr, mesh.batch_sharding(1))
+        out = {k: _take_rows(v, ind) for k, v in dev.items()}
+        out["_full"] = self._all_full(np.asarray(idx))
+        out["_ind"] = ind
         return out
 
     def keypoints_of(self, i: int) -> np.ndarray:

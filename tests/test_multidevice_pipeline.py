@@ -73,7 +73,24 @@ def test_pipeline_mesh_equals_single_device(tmp_path):
         proj.mkdir()
         shutil.copytree(REFERENCE_IMAGES, proj / "images")
 
-    feat_m, match_m = _run_pipeline(proj_multi, devs)
+    # the mesh run must actually use the mesh-resident store (no silent
+    # fallback to host gathers)
+    from deep_image_matching_tpu.matchers import matcher_base as mb
+
+    calls = {"n": 0}
+    orig = mb._PaddedFeatureStore.gather_device_mesh
+
+    def spy(self, idx, mesh):
+        out = orig(self, idx, mesh)
+        calls["n"] += 1
+        return out
+
+    mb._PaddedFeatureStore.gather_device_mesh = spy
+    try:
+        feat_m, match_m = _run_pipeline(proj_multi, devs)
+    finally:
+        mb._PaddedFeatureStore.gather_device_mesh = orig
+    assert calls["n"] > 0, "mesh-resident store gather did not engage"
     feat_s, match_s = _run_pipeline(proj_single, devs[:1])
 
     # identical feature content (extraction is host-side and deterministic,
