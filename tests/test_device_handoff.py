@@ -88,3 +88,42 @@ def test_handoff_h5_bitwise_equals_host_path(kind, image_dir, tmp_path,
         i = ho.index[n]
         c = ho.counts[i]
         np.testing.assert_array_equal(ho.kpts[i, :c], f["keypoints"])
+
+
+def test_handoff_store_lazy_host_fallback(image_dir, tmp_path, monkeypatch):
+    """A handoff-built store must still serve the HOST fallback paths
+    (mesh gathers, device-store failure): desc/scores/mask materialize
+    lazily from the device arrays and match the h5 content."""
+    import jax
+
+    from deep_image_matching_tpu.io.h5 import get_features
+    from deep_image_matching_tpu.matchers.matcher_base import _PaddedFeatureStore
+    from deep_image_matching_tpu.parallel import mesh as mesh_mod
+    from deep_image_matching_tpu.utils.image import ImageList
+
+    monkeypatch.setattr(
+        mesh_mod, "_DEFAULT_MESH", mesh_mod.MeshRunner(jax.devices()[:1])
+    )
+    monkeypatch.setenv("DIM_TPU_FORCE_DEVICE_HANDOFF", "1")
+    images = list(ImageList(image_dir))
+    ex = _make_extractor("superpoint", {"extractor": {"max_keypoints": 256},
+                                        "general": {}})
+    ex.feature_cache = {}
+    p = tmp_path / "f.h5"
+    ex.extract_batch(images, p)
+    assert ex.device_handoff is not None
+    ex.flush()
+
+    names = sorted(n.name for n in images)
+    store = _PaddedFeatureStore(p, names, device_handoff=ex.device_handoff)
+    assert store._lazy_dev  # built from the handoff
+    batch = store.gather([0, 1])  # forces the lazy host mirrors
+    for n in names:
+        i = store.index[n]
+        c = store.counts[i]
+        f = get_features(p, n)
+        d = f["descriptors"].T if f["descriptors"].shape[1] == c else f["descriptors"]
+        np.testing.assert_array_equal(store.desc[i, :c], d)
+        np.testing.assert_array_equal(store.scores[i, :c], f["scores"])
+        assert store.mask[i, :c].all() and not store.mask[i, c:].any()
+    assert batch["descriptors"].shape[0] == 2
