@@ -87,17 +87,55 @@ class AsyncFeatureWriter:
             if item is None:
                 return
             try:
-                save_features(self.feature_path, **item)
+                if "_device_batch" in item:
+                    self._write_device_batch(**item["_device_batch"])
+                else:
+                    save_features(self.feature_path, **item)
             except BaseException as e:  # surfaced at close()
                 self._error = e
                 logger.error(f"Async feature write failed: {e}")
             finally:
                 self._q.task_done()
 
+    def _write_device_batch(
+        self, names, kpts, desc_f16, scores_f16, image_size, counts
+    ):
+        """Materialize a whole extraction batch from DEVICE arrays.
+
+        One batched ``device_get`` of the f16 copies instead of a per-image
+        pull of the store's f32 arrays: half the bytes over the host link
+        and one round trip instead of len(names). The f16 values are
+        exactly what ``save_features(as_half=True)`` would have stored."""
+        import jax
+
+        desc_h, scores_h = jax.device_get((desc_f16, scores_f16))
+        desc_h = np.asarray(desc_h)
+        scores_h = np.asarray(scores_h)
+        for i, name in enumerate(names):
+            save_features(
+                self.feature_path,
+                name,
+                keypoints=kpts[i],
+                descriptors=desc_h[i],
+                scores=scores_h[i],
+                image_size=image_size[i],
+                n_valid=int(counts[i]),
+            )
+
     def put(self, name: str, **arrays) -> None:
         if self._error is not None:
             raise RuntimeError("Async writer failed earlier") from self._error
         self._q.put({"name": name, **arrays})
+
+    def put_device_batch(
+        self, names, kpts, desc_f16, scores_f16, image_size, counts
+    ) -> None:
+        if self._error is not None:
+            raise RuntimeError("Async writer failed earlier") from self._error
+        self._q.put({"_device_batch": dict(
+            names=names, kpts=kpts, desc_f16=desc_f16,
+            scores_f16=scores_f16, image_size=image_size, counts=counts,
+        )})
 
     def close(self) -> None:
         self._q.put(None)
