@@ -147,18 +147,31 @@ class ExtractorBase:
         # full-res coords on device (f32 multiply is bitwise identical to
         # the host-path rescale) + the h5 storage-f16 roundtrip so a
         # reloaded run matches this one exactly
+        desc_f16 = cat["descriptors"].astype(jnp.float16)
+        scores_f16 = cat["scores"].astype(jnp.float16)
         dev = {
             "keypoints": cat["keypoints"] * jnp.asarray(fac)[:, None, :],
-            "descriptors": (
-                cat["descriptors"].astype(jnp.float16).astype(jnp.float32)
-            ),
-            "scores": cat["scores"].astype(jnp.float16).astype(jnp.float32),
+            "descriptors": desc_f16.astype(jnp.float32),
+            "scores": scores_f16.astype(jnp.float32),
             "mask": cat["mask"],
         }
         # small host mirrors (verification/gating need keypoints + counts)
         kpts_h, counts = jax.device_get(
             (dev["keypoints"], cat["mask"].sum(axis=1))
         )
+        # start the f16 batch's device->host copy NOW (after the blocking
+        # kpts fetch above, so it can't queue ahead of it on a serial
+        # transfer stream): it rides the transfer stream while the match
+        # stage computes, so the deferred writer's device_get (flush) finds
+        # the bytes already on host instead of serializing a multi-MB
+        # download after the last match chunk (measured 2.6 s of a 3.2 s
+        # match stage through the dev tunnel)
+        for arr in (desc_f16, scores_f16):
+            if hasattr(arr, "copy_to_host_async"):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
         kpts_h = np.asarray(kpts_h)
         counts = np.asarray(counts).astype(np.int32)
         image_size = np.asarray(image_size, np.int64)
@@ -166,19 +179,15 @@ class ExtractorBase:
             names=names, counts=counts, kpts=kpts_h,
             image_size=image_size, dev=dev,
         )
-        # deferred h5: the writer thread downloads descriptor/score rows and
-        # writes gzip f16 while the match stage runs
+        # deferred h5: the writer thread pulls the f16 batch in ONE
+        # device_get (half the bytes of the f32 store, one round trip
+        # instead of len(names)) and writes gzip f16 while matching runs
         writer = AsyncFeatureWriter(feature_path)
         try:
-            for i, name in enumerate(names):
-                writer.put(
-                    name,
-                    keypoints=kpts_h[i],
-                    descriptors=dev["descriptors"][i],
-                    scores=dev["scores"][i],
-                    image_size=image_size[i],
-                    n_valid=int(counts[i]),
-                )
+            writer.put_device_batch(
+                names=names, kpts=kpts_h, desc_f16=desc_f16,
+                scores_f16=scores_f16, image_size=image_size, counts=counts,
+            )
         except BaseException:
             writer.close()
             raise

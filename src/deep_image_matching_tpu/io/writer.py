@@ -73,6 +73,23 @@ class MatchWriter:
         return False
 
 
+class _DeviceBatch:
+    """Queue item for a whole extraction batch whose big arrays are still on
+    device (dedicated type: a plain dict key could collide with a ``put()``
+    kwarg of the same name)."""
+
+    __slots__ = ("names", "kpts", "desc_f16", "scores_f16", "image_size",
+                 "counts")
+
+    def __init__(self, names, kpts, desc_f16, scores_f16, image_size, counts):
+        self.names = names
+        self.kpts = kpts
+        self.desc_f16 = desc_f16
+        self.scores_f16 = scores_f16
+        self.image_size = image_size
+        self.counts = counts
+
+
 class AsyncFeatureWriter:
     def __init__(self, feature_path, maxsize: int = 32):
         self.feature_path = feature_path
@@ -87,8 +104,8 @@ class AsyncFeatureWriter:
             if item is None:
                 return
             try:
-                if "_device_batch" in item:
-                    self._write_device_batch(**item["_device_batch"])
+                if isinstance(item, _DeviceBatch):
+                    self._write_device_batch(item)
                 else:
                     save_features(self.feature_path, **item)
             except BaseException as e:  # surfaced at close()
@@ -97,21 +114,24 @@ class AsyncFeatureWriter:
             finally:
                 self._q.task_done()
 
-    def _write_device_batch(
-        self, names, kpts, desc_f16, scores_f16, image_size, counts
-    ):
+    def _write_device_batch(self, b: _DeviceBatch):
         """Materialize a whole extraction batch from DEVICE arrays.
 
-        One batched ``device_get`` of the f16 copies instead of a per-image
-        pull of the store's f32 arrays: half the bytes over the host link
-        and one round trip instead of len(names). The f16 values are
-        exactly what ``save_features(as_half=True)`` would have stored."""
+        EVERY input goes through one batched ``device_get`` tuple — if any
+        of kpts/image_size/counts is also a device array, per-image indexing
+        in the write loop would otherwise issue len(names) blocking
+        transfers from the writer thread. The f16 descriptor/score copies
+        are exactly what ``save_features(as_half=True)`` would have stored,
+        at half the bytes over the host link."""
         import jax
 
-        desc_h, scores_h = jax.device_get((desc_f16, scores_f16))
-        desc_h = np.asarray(desc_h)
-        scores_h = np.asarray(scores_h)
-        for i, name in enumerate(names):
+        kpts, desc_h, scores_h, image_size, counts = (
+            np.asarray(x)
+            for x in jax.device_get(
+                (b.kpts, b.desc_f16, b.scores_f16, b.image_size, b.counts)
+            )
+        )
+        for i, name in enumerate(b.names):
             save_features(
                 self.feature_path,
                 name,
@@ -130,12 +150,15 @@ class AsyncFeatureWriter:
     def put_device_batch(
         self, names, kpts, desc_f16, scores_f16, image_size, counts
     ) -> None:
+        """Enqueue one whole extraction batch (device arrays stay on device
+        until the writer thread pulls them in a single transfer). Callers
+        should enqueue at most a few of these — each pins its device buffers
+        in HBM until drained."""
         if self._error is not None:
             raise RuntimeError("Async writer failed earlier") from self._error
-        self._q.put({"_device_batch": dict(
-            names=names, kpts=kpts, desc_f16=desc_f16,
-            scores_f16=scores_f16, image_size=image_size, counts=counts,
-        )})
+        self._q.put(_DeviceBatch(
+            names, kpts, desc_f16, scores_f16, image_size, counts
+        ))
 
     def close(self) -> None:
         self._q.put(None)

@@ -7,8 +7,9 @@ sampling, keypoints appended into features.h5 per pair.
 Weights: ``roma_outdoor.pth`` + ``dinov2_vitl14_pretrain.pth`` in
 DIM_TPU_WEIGHTS_DIR (both convert at load); deterministic random init (with a
 shallow ViT) otherwise. The reference's second 864-res upsample refinement
-pass is not yet ported (tracked; quality at 560 is the paper's base
-operating point).
+pass IS implemented (``models/roma.py`` upsample path) and defaults ON via
+``upsample_preds: True`` below, matching the reference's
+``upsample_res = 864`` (``matchers/roma.py:37-41``).
 """
 
 from __future__ import annotations
