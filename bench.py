@@ -399,6 +399,144 @@ def bench_aliked_default(jax, jnp, rtt, on_tpu):
     return P / best_total, verified
 
 
+def bench_tiled(jax, jnp, rtt, on_tpu):
+    """BASELINE scenario 3: tiled matching on large-format images (ALIKED
+    real weights + smnn, 4 x 2048px images, 1200px tiles -> 4 tiles/image,
+    EXHAUSTIVE tile pairs = 16 jobs/pair x 6 pairs = 96 tile-pair jobs).
+    Exhaustive selection is the honest operating point offline: the
+    preselection probe (SuperPoint+LightGlue low-res) has no offline
+    weights, and a random-weight probe selects ~zero tile pairs, which
+    would measure nothing. Exhaustive is the upper bound on tiled work.
+    Reference tiled path: ``matcher_base.py:362-485``, ``utils/tiling.py``.
+
+    Returns (pairs/s over extract+match, verified pair count)."""
+    import shutil
+
+    N_IMG = 4
+    proj = _build_crop_project("dim_tpu_bench_tiled", N_IMG, size=2048)
+    P = N_IMG * (N_IMG - 1) // 2
+    overrides = dict(
+        general={"tile_size": (1200, 1200), "tile_overlap": 10},
+        extractor={"name": "aliked", "model_name": "aliked-n16rot",
+                   "max_num_keypoints": 2048},
+        matcher={"name": "kornia_matcher", "match_mode": "smnn", "th": 0.95},
+    )
+
+    def one(tag):
+        import deep_image_matching_tpu as dim
+        from deep_image_matching_tpu.io.h5 import list_pairs
+
+        out = proj / f"out_{tag}"
+        config = dim.Config(
+            args={
+                "dir": str(proj), "outs": str(out),
+                "pipeline": "aliked+lightglue",
+                "strategy": "bruteforce", "tiling": "exhaustive",
+                "skip_reconstruction": True, "force": True,
+            },
+            **overrides,
+        )
+        matcher = dim.ImageMatcher(config)
+        pairs = matcher.generate_pairs()
+        t0 = time.time()
+        fpath = matcher.extract_features()
+        t_extract = time.time() - t0
+        t0 = time.time()
+        mpath = matcher.match_pairs(pairs, fpath)
+        t_match = time.time() - t0
+        n_ver = len(list_pairs(mpath)) if Path(mpath).exists() else 0
+        return t_extract, t_match, n_ver
+
+    t0 = time.time()
+    one("warm")
+    log(f"tiled warmup (incl. compiles): {time.time() - t0:.1f}s")
+    best, verified = float("inf"), 0
+    for r in range(2):
+        t_extract, t_match, n_ver = one(f"t{r}")
+        log(
+            f"tiled run {r}: extract={t_extract:.2f}s match={t_match:.2f}s "
+            f"verified={n_ver}/{P} -> {P/(t_extract+t_match):.2f} pairs/s"
+        )
+        best = min(best, t_extract + t_match)
+        verified = max(verified, n_ver)
+    shutil.rmtree(proj, ignore_errors=True)
+    log(
+        f"tiled path (aliked+smnn, {N_IMG} x 2048px, 96 tile jobs): "
+        f"{P/best:.2f} pairs/s, {verified} pairs verified"
+    )
+    return P / best, verified
+
+
+def bench_loftr_pipeline(jax, jnp, rtt, on_tpu):
+    """BASELINE scenario 4: the detector-free pipeline end-to-end —
+    ``DetectorFreeMatcher.match_all`` (image load, LoFTR forward, per-pair
+    feature appends, GV, h5) + dense-to-multiview track merge, via
+    ImageMatcher with the loftr preset (random weights; throughput only).
+    Reference: ``matchers/loftr.py:16-289``,
+    ``utils/loftr_roma_to_multiview.py:152-280``.
+
+    Returns (pairs/s incl. track merge, pairs/s match stage only)."""
+    import os
+    import shutil
+
+    os.environ.setdefault("DIM_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    import deep_image_matching_tpu as dim
+    from deep_image_matching_tpu.utils.dense_to_multiview import (
+        dense_to_multiview,
+    )
+
+    N_IMG = 8
+    proj = _build_crop_project("dim_tpu_bench_loftr", N_IMG, size=640)
+    P = N_IMG * (N_IMG - 1) // 2
+
+    def one(tag):
+        out = proj / f"out_{tag}"
+        config = dim.Config(
+            args={
+                "dir": str(proj), "outs": str(out), "pipeline": "loftr",
+                "strategy": "bruteforce", "skip_reconstruction": True,
+                "force": True,
+            },
+        )
+        matcher = dim.ImageMatcher(config)
+        pairs = matcher.generate_pairs()
+        t0 = time.time()
+        fpath = matcher.extract_features()
+        mpath = matcher.match_pairs(pairs, fpath)
+        t_match = time.time() - t0
+        t0 = time.time()
+        # random weights can verify zero pairs; merge the raw matches then
+        # so the track-merge stage still runs at realistic volume
+        merge_src = (
+            mpath if Path(mpath).exists() else out / "raw_matches.h5"
+        )
+        dense_to_multiview(
+            fpath, merge_src, out / "database.db", proj / "images",
+        )
+        t_merge = time.time() - t0
+        return t_match, t_merge
+
+    t0 = time.time()
+    one("warm")
+    log(f"loftr warmup (incl. compiles): {time.time() - t0:.1f}s")
+    best_match, best_total = float("inf"), float("inf")
+    for r in range(2):
+        t_match, t_merge = one(f"t{r}")
+        log(
+            f"loftr run {r}: match={t_match:.2f}s merge={t_merge:.2f}s "
+            f"-> {P/(t_match+t_merge):.2f} pairs/s"
+        )
+        best_match = min(best_match, t_match)
+        best_total = min(best_total, t_match + t_merge)
+    shutil.rmtree(proj, ignore_errors=True)
+    log(
+        f"loftr pipeline ({N_IMG} x 640px, {P} pairs): "
+        f"{P/best_total:.2f} pairs/s incl. track merge, "
+        f"{P/best_match:.2f} match stage"
+    )
+    return P / best_total, P / best_match
+
+
 _EMIT_LOCK = __import__("threading").Lock()
 _EMITTED = False
 
@@ -536,6 +674,24 @@ def main():
             log("skipping bench_aliked_default: time budget low")
     except Exception as e:  # noqa: BLE001
         log(f"bench_aliked_default failed: {e!r}")
+    try:
+        if _left() > 120:
+            tiled_pps, tiled_ver = bench_tiled(jax, jnp, rtt, on_tpu)
+            res["tiled_pairs_per_s"] = round(tiled_pps, 2)
+            res["tiled_verified_pairs"] = int(tiled_ver)
+        else:
+            log("skipping bench_tiled: time budget low")
+    except Exception as e:  # noqa: BLE001
+        log(f"bench_tiled failed: {e!r}")
+    try:
+        if _left() > 120:
+            loftr_pps, loftr_match_pps = bench_loftr_pipeline(jax, jnp, rtt, on_tpu)
+            res["loftr_pipeline_pairs_per_s"] = round(loftr_pps, 2)
+            res["loftr_match_stage_pairs_per_s"] = round(loftr_match_pps, 2)
+        else:
+            log("skipping bench_loftr_pipeline: time budget low")
+    except Exception as e:  # noqa: BLE001
+        log(f"bench_loftr_pipeline failed: {e!r}")
 
     done.set()
     _emit(res)

@@ -670,16 +670,45 @@ class BatchedMatcher(MatcherBase):
         bsz = int(self.tpu.get("match_batch_size", 32))
         per_pair: Dict[int, list] = {i: [] for i in range(len(pairs))}
 
+        import os
+
+        import jax
+
+        use_device_store = (
+            jax.default_backend() != "cpu"
+            or os.environ.get("DIM_TPU_FORCE_DEVICE_STORE") == "1"
+        ) and not getattr(store, "_device_failed", False)
+
         def dispatch(chunk):
-            batch0 = dict(store.gather([j[1] for j in chunk]))
-            batch1 = dict(store.gather([j[2] for j in chunk]))
+            i0s = [j[1] for j in chunk]
+            i1s = [j[2] for j in chunk]
             t0s = np.array([j[3] for j in chunk], np.float32)
             t1s = np.array([j[4] for j in chunk], np.float32)
+            if use_device_store:
+                # tiles-as-batch-dim on the HBM-resident store: the tile
+                # restriction is a device-side mask AND, so a tile-pair
+                # chunk uploads two small index vectors instead of
+                # re-uploading (B, K, D) descriptor slabs per chunk
+                try:
+                    batch0 = store.gather_device_tiled(i0s, t0s)
+                    batch1 = store.gather_device_tiled(i1s, t1s)
+                    return self._match_batch_arrays(batch0, batch1)
+                except Exception as e:
+                    store._device_failed = True
+                    logger.warning(
+                        f"Device feature store unavailable for tiled "
+                        f"matching ({type(e).__name__}: {e}); falling back "
+                        f"to host gathers"
+                    )
+            batch0 = dict(store.gather(i0s))
+            batch1 = dict(store.gather(i1s))
+            batch0.pop("_full", None)
+            batch1.pop("_full", None)
             batch0["mask"] = batch0["mask"] & (
-                store.tile_idx[[j[1] for j in chunk]] == t0s[:, None]
+                store.tile_idx[i0s] == t0s[:, None]
             )
             batch1["mask"] = batch1["mask"] & (
-                store.tile_idx[[j[2] for j in chunk]] == t1s[:, None]
+                store.tile_idx[i1s] == t1s[:, None]
             )
             return self._match_batch_arrays(batch0, batch1)
 
@@ -887,6 +916,15 @@ class _PaddedFeatureStore:
             }
         return self._dev
 
+    def device_tile_idx(self) -> "object":
+        """Device copy of the per-keypoint tile indices (uploaded once;
+        only the tiled match path needs it)."""
+        if not hasattr(self, "_dev_tile_idx"):
+            import jax.numpy as jnp
+
+            self._dev_tile_idx = jnp.asarray(self.tile_idx)
+        return self._dev_tile_idx
+
     def gather_device(self, idx: List[int]) -> Dict[str, "object"]:
         import jax.numpy as jnp
 
@@ -894,6 +932,26 @@ class _PaddedFeatureStore:
         ind = jnp.asarray(np.asarray(idx, np.int32))
         out = {k: jnp.take(v, ind, axis=0) for k, v in dev.items()}
         out["_full"] = self._all_full(np.asarray(idx))
+        return out
+
+    def gather_device_tiled(self, idx: List[int], tiles: np.ndarray
+                            ) -> Dict[str, "object"]:
+        """Tiles-as-batch-dim gather (SURVEY §7 step 7): assemble a
+        tile-pair batch on device from the HBM-resident store, restricting
+        each row's validity mask to one tile. Host->device traffic per
+        chunk is two small index vectors instead of the (B, K, D)
+        descriptor slab the host-gather path re-uploads per tile pair."""
+        import jax.numpy as jnp
+
+        dev = self.device()
+        tidx = self.device_tile_idx()
+        ind = jnp.asarray(np.asarray(idx, np.int32))
+        out = {k: jnp.take(v, ind, axis=0) for k, v in dev.items()}
+        tsel = jnp.asarray(np.asarray(tiles, np.float32))
+        out["mask"] = out["mask"] & (
+            jnp.take(tidx, ind, axis=0) == tsel[:, None]
+        )
+        out["_full"] = False  # tile masks are partial by construction
         return out
 
     def device_mesh(self, mesh) -> Dict[str, "object"]:

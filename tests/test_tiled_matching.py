@@ -127,6 +127,42 @@ def test_tiled_sift_pipeline(project_dir, image_dir):
     assert len(np.unique(m[:, 0])) == len(m)
 
 
+def test_tiled_device_store_equals_host(project_dir, image_dir, monkeypatch):
+    """Tiles-as-batch-dim on the device-resident store (SURVEY §7 step 7)
+    produces bitwise-identical matches to the host-gather tiled path: the
+    tile restriction is the same mask AND, applied on device."""
+    def run(tag, force_device):
+        if force_device:
+            monkeypatch.setenv("DIM_TPU_FORCE_DEVICE_STORE", "1")
+        else:
+            monkeypatch.delenv("DIM_TPU_FORCE_DEVICE_STORE", raising=False)
+        args = {
+            "dir": str(project_dir),
+            "outs": str(project_dir / f"out_{tag}"),
+            "pipeline": "sift+kornia_matcher",
+            "strategy": "bruteforce",
+            "tiling": "grid",
+            "skip_reconstruction": True,
+            "force": True,
+        }
+        cfg = Config(args=args)
+        cfg.general["tile_size"] = (400, 300)
+        cfg.general["tile_overlap"] = 20
+        matcher = ImageMatcher(cfg)
+        _, match_path = matcher.run()
+        return match_path
+
+    mp_host = run("host", force_device=False)
+    mp_dev = run("dev", force_device=True)
+    pairs_host = sorted(list_pairs(mp_host))
+    pairs_dev = sorted(list_pairs(mp_dev))
+    assert pairs_host == pairs_dev and len(pairs_host) >= 1
+    for a, b in pairs_host:
+        np.testing.assert_array_equal(
+            get_matches(mp_host, a, b), get_matches(mp_dev, a, b)
+        )
+
+
 def test_tiled_sift_pipeline_per_tile_gv(project_dir, image_dir):
     """geometric_verification_per_tile: each tile pair's matches verify
     independently (reference matcher_base.py:428-440); the pipeline still
