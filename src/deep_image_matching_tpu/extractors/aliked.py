@@ -218,5 +218,20 @@ class ALIKEDExtractor(ExtractorBase):
         if image.ndim == 2:
             image = np.repeat(image[..., None], 3, axis=-1)
         h, w = image.shape[:2]
-        feats = self._run([(image.astype(np.float32), (w, h))])[0]
+        feats = self._run([(image, (w, h))])[0]
         return feats
+
+    # tiles stay uint8 on host; aliked_model.extract normalizes on device
+    # (the untiled extract_batch path already does this)
+    tile_uint8 = True
+
+    def _extract_many(self, images) -> list:
+        """Tiles-as-batch: one padded device program per shape bucket via
+        ``_run`` (which also keeps the OOM bisection), instead of one
+        dispatch + upload round trip per tile."""
+        prepped = [
+            (im if im.ndim == 3 else np.repeat(im[..., None], 3, axis=-1),
+             None)
+            for im in images
+        ]
+        return self._run(prepped)

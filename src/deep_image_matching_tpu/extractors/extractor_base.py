@@ -63,6 +63,10 @@ class ExtractorBase:
     grayscale: bool = True
     as_float: bool = True
     descriptor_size: int = 0
+    # Device extractors whose model normalizes uint8 on device set this so
+    # the tiled path keeps tiles uint8 end-to-end (4x smaller uploads; the
+    # untiled extract_batch overrides already do this)
+    tile_uint8: bool = False
 
     def __init__(self, config: dict):
         self.config = config
@@ -282,7 +286,9 @@ class ExtractorBase:
 
     def _load(self, img: Image) -> np.ndarray:
         image = read_image(img.path, grayscale=self.grayscale)
-        if self.as_float:
+        if self.as_float and not (
+            self.tile_uint8 and self.tile_selection is not TileSelection.NONE
+        ):
             image = image.astype(np.float32) / 255.0
         return image
 
@@ -292,6 +298,14 @@ class ExtractorBase:
         h, w = image.shape[:2]
         new_w, new_h = get_size_by_quality(self.quality, (w, h))
         return resize_image(image, (max(new_w, 1), max(new_h, 1)))
+
+    def _extract_many(self, images: List[np.ndarray]) -> List[FeaturesDict]:
+        """Hook: a list of same-image tiles (or arbitrary arrays) ->
+        trimmed FeaturesDicts. Default loops ``_extract``; device extractors
+        override to run tiles as ONE padded batch program (tiles-as-batch,
+        SURVEY §7 step 7) — per-tile dispatch + upload round trips measured
+        9.5 s of the 10 s tiled bench before batching."""
+        return [self._trim(self._extract(im)) for im in images]
 
     def _extract_by_tile(self, image: np.ndarray) -> FeaturesDict:
         """Tile the image, extract per tile, offset to image coordinates,
@@ -303,8 +317,11 @@ class ExtractorBase:
         )
         h, w = image.shape[:2]
         all_kpts, all_desc, all_scores, all_tile = [], [], [], []
+        feats_per_tile = self._extract_many(
+            [tiles[idx] for idx in range(len(tiles))]
+        )
         for idx in range(len(tiles)):
-            feats = self._trim(self._extract(tiles[idx]))
+            feats = feats_per_tile[idx]
             kpts = feats["keypoints"] + origins[idx][None, :].astype(np.float32)
             keep = (
                 (kpts[:, 0] >= 0) & (kpts[:, 0] < w)

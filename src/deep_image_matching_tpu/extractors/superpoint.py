@@ -136,12 +136,27 @@ class SuperPointExtractor(ExtractorBase):
 
     def _extract(self, image: np.ndarray) -> FeaturesDict:
         """Single image/tile path (used by the tiling template)."""
-        if image.ndim == 3:
-            image = image.mean(axis=-1)
-        h, w = image.shape
-        feats = self._runner.extract_arrays([(image.astype(np.float32), 1.0, (w, h))])[0]
-        return {
-            "keypoints": feats["keypoints"],
-            "descriptors": feats["descriptors"],
-            "scores": feats["scores"],
-        }
+        return self._extract_many([image])[0]
+
+    # tiles stay uint8 on host; the device program normalizes (the untiled
+    # extract_batch path already does this)
+    tile_uint8 = True
+
+    def _extract_many(self, images) -> list:
+        """Tiles-as-batch: the runner buckets same-shape tiles into ONE
+        padded batch program instead of one dispatch + upload per tile."""
+        prepped = []
+        for im in images:
+            if im.ndim == 3:
+                im = im.mean(axis=-1).astype(im.dtype)
+            h, w = im.shape
+            prepped.append((im, 1.0, (w, h)))
+        feats = self._runner.extract_arrays(prepped)
+        return [
+            {
+                "keypoints": f["keypoints"],
+                "descriptors": f["descriptors"],
+                "scores": f["scores"],
+            }
+            for f in feats
+        ]

@@ -1019,19 +1019,23 @@ class DetectorFreeMatcher(MatcherBase):
         import h5py
 
         bsz = int(self.conf.get("pair_batch_size", 1))
+        # matchers that expose a dispatch/finish split get 2-deep software
+        # pipelining: pair N's (blocking) download, feature appends, and
+        # host GV overlap pair N+1/N+2's device compute — the same shape as
+        # BatchedMatcher.match_all. Without the split, chunks run
+        # synchronously (RoMa/SE2-LoFTR until they opt in).
+        dispatch = getattr(self, "_dispatch_images_batch", None)
         with MatchWriter(matches_path) as writer, h5py.File(
             str(feature_path), "a", libver="latest"
         ) as feature_fd:
             self._writer = writer
             self._feature_fd = feature_fd
             try:
-                for start in range(0, len(pairs), bsz):
-                    chunk = pairs[start : start + bsz]
-                    paths = [
-                        (Path(image_dir) / a, Path(image_dir) / b) for a, b in chunk
-                    ]
+                window: list = []
+
+                def matched_of(paths):
                     try:
-                        matched = self._match_images_batch(paths)
+                        return self._match_images_batch(paths)
                     except Exception as e:
                         logger.warning(
                             f"Batched detector-free matching failed "
@@ -1046,31 +1050,82 @@ class DetectorFreeMatcher(MatcherBase):
                                     f"Matching {p0.name}-{p1.name} failed: {e2}"
                                 )
                                 matched.append(None)
-                    for (img0, img1), km in zip(chunk, matched):
-                        if km is None:
-                            results[(img0, img1)] = 0
-                            continue
+                        return matched
+
+                def finish(chunk, disp, paths):
+                    if disp is not None:
                         try:
-                            kpts0, kpts1 = km
-                            matches = self._append_features(
-                                feature_path, img0, img1, kpts0, kpts1
-                            )
-                            self._save_raw(matches_path, img0, img1, matches)
-                            verified = self._verify_and_save_coords(
-                                matches_path, img0, img1, matches, kpts0, kpts1
-                            )
-                            results[(img0, img1)] = (
-                                0 if verified is None else len(verified)
-                            )
+                            matched = self._finish_images_batch(disp)
                         except Exception as e:
                             logger.warning(
-                                f"Detector-free matching {img0}-{img1} failed: {e}"
+                                f"Finishing detector-free batch failed "
+                                f"({type(e).__name__}: {e}); retrying "
+                                f"synchronously"
                             )
-                            results[(img0, img1)] = 0
+                            matched = matched_of(paths)
+                    else:
+                        matched = matched_of(paths)
+                    self._consume_chunk(
+                        chunk, matched, results, feature_path, matches_path
+                    )
+
+                for start in range(0, len(pairs), bsz):
+                    chunk = pairs[start : start + bsz]
+                    paths = [
+                        (Path(image_dir) / a, Path(image_dir) / b) for a, b in chunk
+                    ]
+                    disp = None
+                    if dispatch is not None:
+                        try:
+                            disp = dispatch(paths)
+                        except Exception as e:
+                            logger.warning(
+                                f"Detector-free dispatch failed "
+                                f"({type(e).__name__}: {e}); running "
+                                f"synchronously"
+                            )
+                    if dispatch is not None and disp is not None:
+                        window.append((chunk, disp, paths))
+                        if len(window) > 2:
+                            finish(*window.pop(0))
+                        continue
+                    # sync path: drain the window first (writes stay ordered)
+                    while window:
+                        finish(*window.pop(0))
+                    finish(chunk, None, paths)
+                while window:
+                    finish(*window.pop(0))
             finally:
                 self._writer = None
                 self._feature_fd = None
         return results
+
+    def _consume_chunk(
+        self, chunk, matched, results, feature_path, matches_path
+    ):
+        """Per-pair host tail: append new keypoints to features.h5, write
+        raw matches, GV + gates, write verified matches."""
+        for (img0, img1), km in zip(chunk, matched):
+            if km is None:
+                results[(img0, img1)] = 0
+                continue
+            try:
+                kpts0, kpts1 = km
+                matches = self._append_features(
+                    feature_path, img0, img1, kpts0, kpts1
+                )
+                self._save_raw(matches_path, img0, img1, matches)
+                verified = self._verify_and_save_coords(
+                    matches_path, img0, img1, matches, kpts0, kpts1
+                )
+                results[(img0, img1)] = (
+                    0 if verified is None else len(verified)
+                )
+            except Exception as e:
+                logger.warning(
+                    f"Detector-free matching {img0}-{img1} failed: {e}"
+                )
+                results[(img0, img1)] = 0
 
     def _match_images(self, path0, path1):
         """Subclass hook: image paths -> matched coordinate arrays

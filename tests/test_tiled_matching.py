@@ -1,6 +1,7 @@
 """Tiled extraction + tiled matching end-to-end (grid and exhaustive)."""
 
 import numpy as np
+from pathlib import Path
 import pytest
 
 from deep_image_matching_tpu.config import Config
@@ -186,6 +187,41 @@ def test_tiled_sift_pipeline_per_tile_gv(project_dir, image_dir):
     assert len(pairs) >= 1
     m = get_matches(match_path, *pairs[0])
     assert len(m) >= 15
+
+
+def test_tiles_as_batch_extraction_equals_loop(image_dir):
+    """The tiles-as-batch `_extract_many` override (one padded device
+    program per shape bucket) produces the same features as the base
+    per-tile loop. At quality HIGH the uint8 tile path normalizes on device
+    (/255 in f32), bitwise-identical to the host f32 load."""
+    from deep_image_matching_tpu.extractors.superpoint import (
+        SuperPointExtractor,
+    )
+
+    cfg = {
+        "extractor": {"name": "superpoint", "max_keypoints": 512},
+        "general": {"tile_selection": __import__(
+            "deep_image_matching_tpu.constants", fromlist=["TileSelection"]
+        ).TileSelection.GRID, "tile_size": (300, 260), "tile_overlap": 16},
+    }
+    img = sorted(Path(image_dir).iterdir())[0]
+
+    ex_batched = SuperPointExtractor(dict(cfg))
+    f_b = ex_batched.extract(img)
+
+    ex_loop = SuperPointExtractor(dict(cfg))
+    orig_many = ex_loop._extract_many
+    ex_loop._extract_many = (
+        lambda images: [orig_many([im])[0] for im in images]
+    )
+    f_l = ex_loop.extract(img)
+
+    np.testing.assert_array_equal(f_b["keypoints"], f_l["keypoints"])
+    np.testing.assert_array_equal(f_b["tile_idx"], f_l["tile_idx"])
+    np.testing.assert_allclose(
+        f_b["descriptors"], f_l["descriptors"], atol=1e-6
+    )
+    assert f_b["tile_idx"].max() >= 1  # multiple tiles actually used
 
 
 def test_roma_probe_selected_by_config(project_dir, monkeypatch):
