@@ -537,6 +537,48 @@ def bench_loftr_pipeline(jax, jnp, rtt, on_tpu):
     return P / best_total, P / best_match
 
 
+def bench_roma_pipeline(jax, jnp, rtt, on_tpu):
+    """BASELINE scenario 5: dense RoMa matching end-to-end through
+    ImageMatcher (coarse 560 symmetric + 864 upsample refinement + ON-DEVICE
+    balanced sampling) on 4 x 640px crops = 6 pairs. Random weights
+    (throughput only). Reference: ``matchers/roma.py:23-457``.
+
+    Returns pairs/s over the match stage."""
+    import os
+    import shutil
+
+    os.environ.setdefault("DIM_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    import deep_image_matching_tpu as dim
+
+    N_IMG = 4
+    proj = _build_crop_project("dim_tpu_bench_roma", N_IMG, size=640)
+    P = N_IMG * (N_IMG - 1) // 2
+
+    def one(tag):
+        out = proj / f"out_{tag}"
+        config = dim.Config(
+            args={
+                "dir": str(proj), "outs": str(out), "pipeline": "roma",
+                "strategy": "bruteforce", "skip_reconstruction": True,
+                "force": True,
+            },
+        )
+        matcher = dim.ImageMatcher(config)
+        pairs = matcher.generate_pairs()
+        fpath = matcher.extract_features()
+        t0 = time.time()
+        matcher.match_pairs(pairs, fpath)
+        return time.time() - t0
+
+    t0 = time.time()
+    one("warm")
+    log(f"roma warmup (incl. compiles): {time.time() - t0:.1f}s")
+    best = min(one(f"t{r}") for r in range(2))
+    shutil.rmtree(proj, ignore_errors=True)
+    log(f"roma pipeline ({N_IMG} x 640px, {P} pairs): {P/best:.2f} pairs/s")
+    return P / best
+
+
 _EMIT_LOCK = __import__("threading").Lock()
 _EMITTED = False
 
@@ -692,6 +734,15 @@ def main():
             log("skipping bench_loftr_pipeline: time budget low")
     except Exception as e:  # noqa: BLE001
         log(f"bench_loftr_pipeline failed: {e!r}")
+    try:
+        if _left() > 150:
+            res["roma_pipeline_pairs_per_s"] = round(
+                bench_roma_pipeline(jax, jnp, rtt, on_tpu), 2
+            )
+        else:
+            log("skipping bench_roma_pipeline: time budget low")
+    except Exception as e:  # noqa: BLE001
+        log(f"bench_roma_pipeline failed: {e!r}")
 
     done.set()
     _emit(res)

@@ -137,10 +137,15 @@ class RomaMatcher(DetectorFreeMatcher):
             self._img_cache_bytes += arr.nbytes
         return self._img_cache[key][0]
 
-    def _match_images_batch(self, paths):
+    def _dispatch_images_batch(self, paths):
         """All pairs share the fixed coarse/upsample resolutions, so every
         chunk is one bucket: the warps for B pairs compute as one jitted
-        program (internally 2B with the symmetric pass)."""
+        program (internally 2B with the symmetric pass). Returns lazy
+        device jobs; ``_finish_images_batch`` materializes — the split lets
+        ``DetectorFreeMatcher.match_all`` overlap a pair's download/GV/h5
+        tail with the next pair's device compute. Match sampling runs ON
+        DEVICE (``sample_matches_device``), so a pair downloads (num, 4)
+        matches instead of full-resolution warp maps (~24 MB at 864px)."""
         import jax
         import jax.numpy as jnp
 
@@ -149,10 +154,10 @@ class RomaMatcher(DetectorFreeMatcher):
         # memory guard: 2B images at upsample_res through the VGG pyramid
         B_cap = int(self.tpu.get("roma_batch_size", 4))
         if len(paths) > B_cap:
-            out = []
+            jobs = []
             for s in range(0, len(paths), B_cap):
-                out.extend(self._match_images_batch(paths[s : s + B_cap]))
-            return out
+                jobs.extend(self._dispatch_images_batch(paths[s : s + B_cap]))
+            return jobs
 
         # device-cached uint8 images at the fixed coarse/upsample
         # resolutions: one upload per (image, res), not one per pair.
@@ -196,15 +201,32 @@ class RomaMatcher(DetectorFreeMatcher):
                 cert16_ab=out[4] if atten else None,
                 cert16_ba=out[5] if atten else None,
             )
-        results = []
+        jobs = []
         for i, ((HA, WA), (HB, WB)) in enumerate(sizes):
             self._key += 1
-            matches, cert = roma_model.sample_matches(
-                np.asarray(warp_ab[i]), np.asarray(cert_ab[i]),
-                np.asarray(warp_ba[i]), np.asarray(cert_ba[i]),
+            matches, _cert = roma_model.sample_matches_device(
+                warp_ab[i], cert_ab[i], warp_ba[i], cert_ba[i],
                 jax.random.PRNGKey(self._key),
                 num=self.num_points, sample_thresh=self.sample_thresh,
             )
-            kA, kB = roma_model.to_pixel_coordinates(matches, HA, WA, HB, WB)
+            if hasattr(matches, "copy_to_host_async"):
+                try:
+                    matches.copy_to_host_async()
+                except Exception:
+                    pass
+            jobs.append((matches, (HA, WA), (HB, WB)))
+        return jobs
+
+    def _finish_images_batch(self, jobs):
+        from ..models import roma as roma_model
+
+        results = []
+        for matches, (HA, WA), (HB, WB) in jobs:
+            m = np.asarray(matches)
+            kA, kB = roma_model.to_pixel_coordinates(m, HA, WA, HB, WB)
             results.append((kA.astype(np.float32), kB.astype(np.float32)))
         return results
+
+    def _match_images_batch(self, paths):
+        """Synchronous form of dispatch+finish (the fallback path)."""
+        return self._finish_images_batch(self._dispatch_images_batch(paths))

@@ -752,6 +752,53 @@ def sample_matches(
     return good[sel], good_cert[sel]
 
 
+@functools.partial(jax.jit, static_argnames=("num", "sample_thresh"))
+def sample_matches_device(
+    warp_ab, cert_ab, warp_ba, cert_ba, key,
+    num: int = 5000, sample_thresh: float = 0.05,
+):
+    """Device-side :func:`sample_matches` (same math, JAX RNG): gumbel
+    top-k candidate draw + inverse-KDE rebalance entirely on device, so a
+    pair downloads (num, 4) matches (~80 KB) instead of the full-resolution
+    warp/certainty maps (~24 MB at 864px). The KDE distance matrix is
+    computed as |a|^2 + |b|^2 - 2ab^T (one MXU matmul). Stochastic outputs
+    differ from the numpy version only through the RNG stream."""
+    H, W = cert_ab.shape[:2]
+    grid = _grid(H, W)
+    m_ab = jnp.concatenate([grid, warp_ab], axis=-1).reshape(-1, 4)
+    m_ba = jnp.concatenate([warp_ba, grid], axis=-1).reshape(-1, 4)
+    matches = jnp.concatenate([m_ab, m_ba], axis=0)
+    cert = jnp.concatenate([cert_ab.reshape(-1), cert_ba.reshape(-1)])
+    cert = jax.nn.sigmoid(cert)
+    oob = (
+        (jnp.abs(matches[:, 2:]) > 1).any(axis=1)
+        | (jnp.abs(matches[:, :2]) > 1).any(axis=1)
+    )
+    cert = jnp.where(oob, 0.0, cert)
+    matches = jnp.clip(matches, -1.0, 1.0)
+    cert_s = jnp.where(cert > sample_thresh, 1.0, cert)
+    n_cand = min(4 * num, int(cert_s.shape[0]))
+    k1, k2, k3 = jax.random.split(key, 3)
+    g = jax.random.gumbel(k1, cert_s.shape)
+    _, cand = jax.lax.top_k(jnp.log(jnp.maximum(cert_s, 1e-12)) + g, n_cand)
+    good = matches[cand]
+    good_cert = cert_s[cand]
+    n_sub = min(n_cand, 4000)
+    sub = good[jax.random.choice(k2, n_cand, (n_sub,), replace=False)]
+    d2 = (
+        (good**2).sum(-1)[:, None]
+        + (sub**2).sum(-1)[None, :]
+        - 2.0 * good @ sub.T
+    )
+    density = jnp.exp(-d2 / (2 * 0.1**2)).sum(-1) * (n_cand / n_sub)
+    p = 1.0 / (density + 1.0)
+    p = jnp.where(density < 10, 1e-7, p)
+    g2 = jax.random.gumbel(k3, p.shape)
+    k = min(num, int(p.shape[0]))
+    _, sel = jax.lax.top_k(jnp.log(jnp.maximum(p, 1e-12)) + g2, k)
+    return good[sel], good_cert[sel]
+
+
 def to_pixel_coordinates(matches, H_A, W_A, H_B, W_B):
     kA = np.stack(
         [W_A / 2 * (matches[:, 0] + 1), H_A / 2 * (matches[:, 1] + 1)], -1

@@ -36,8 +36,14 @@ SHIMS = str(Path(__file__).resolve().parents[1] / "scripts" / "torch_shims")
 def _import_roma():
     if not Path(ROMA_DIR).is_dir():
         pytest.skip("reference RoMa checkout not available")
-    # the real-shim torchvision must win over test stubs other modules set
-    for mod in [m for m in list(sys.modules) if m.startswith("torchvision")]:
+    # the real-shim torchvision must win over test stubs other modules set;
+    # cached reference-roma modules hold references to whichever torchvision
+    # they imported under (test_roma.py's minimal stub lacks vgg19_bn), so
+    # purge them too and re-import under the real shim
+    for mod in [
+        m for m in list(sys.modules)
+        if m.startswith("torchvision") or m == "roma" or m.startswith("roma.")
+    ]:
         del sys.modules[mod]
     for p in (SHIMS, ROMA_DIR):
         if p not in sys.path:
