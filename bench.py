@@ -652,6 +652,20 @@ def main():
 
     def _watchdog():
         if not done.wait(timeout=budget):
+            if not res:
+                # nothing completed — almost always the axon tunnel
+                # stalling ~10 min at device init (observed when a bench
+                # starts <5 min after another TPU process exits). An empty
+                # emit scores zero regardless, so waiting longer can only
+                # help; one bounded extension.
+                extra = float(os.environ.get("DIM_BENCH_STALL_EXTRA_S", "420"))
+                log(
+                    f"bench watchdog: budget {budget:.0f}s exhausted with NO "
+                    f"completed stage (device-init stall?); extending "
+                    f"{extra:.0f}s"
+                )
+                if done.wait(timeout=extra):
+                    return
             log(f"bench watchdog: budget {budget:.0f}s exhausted, emitting partial result")
             try:
                 _emit(res)

@@ -36,7 +36,16 @@ if _os.environ.get("JAX_PLATFORMS"):
 def _accelerator_plugin_available() -> bool:
     """True when a PJRT accelerator plugin is installed (without
     initializing any backend). CPU-only installs must not cache: XLA:CPU
-    executables bake in host features and break across VM migrations."""
+    executables bake in host features and break across VM migrations.
+
+    Two registration paths: the standard ``jax_plugins`` entry-point group,
+    and an explicit non-cpu ``JAX_PLATFORMS`` (site plugins like the
+    tunneled 'axon' TPU register WITHOUT an entry point — gating on entry
+    points alone silently disabled the cache there, costing ~700 s of cold
+    compiles per bench process)."""
+    plat = _os.environ.get("JAX_PLATFORMS", "").lower()
+    if plat and plat != "cpu":
+        return True
     try:
         from importlib.metadata import entry_points
 

@@ -141,6 +141,44 @@ def test_local_correlation_parity():
     np.testing.assert_allclose(got, ref[0].transpose(1, 2, 0), atol=1e-4)
 
 
+def test_sample_matches_device_semantics():
+    """The on-device balanced sampler preserves the numpy sampler's
+    semantics: output shapes/ranges, out-of-range warps carry no mass, and
+    high-certainty positions dominate the sample."""
+    from deep_image_matching_tpu.models import roma as rm
+
+    H = W = 16
+    rng = np.random.default_rng(5)
+    warp_ab = rng.uniform(-0.9, 0.9, (H, W, 2)).astype(np.float32)
+    warp_ba = rng.uniform(-0.9, 0.9, (H, W, 2)).astype(np.float32)
+    # certainty logits: strongly positive in the top half, strongly negative
+    # in the bottom half of the ab map
+    cert_ab = np.full((H, W, 1), -9.0, np.float32)
+    cert_ab[: H // 2] = 9.0
+    cert_ba = np.full((H, W, 1), -9.0, np.float32)
+    # out-of-range warp rows must be excluded even where certainty is high
+    warp_ab[0, :, 0] = 1.5
+    m, c = rm.sample_matches_device(
+        jnp.asarray(warp_ab), jnp.asarray(cert_ab),
+        jnp.asarray(warp_ba), jnp.asarray(cert_ba),
+        jax.random.PRNGKey(0), num=64, sample_thresh=0.05,
+    )
+    m = np.asarray(m)
+    c = np.asarray(c)
+    assert m.shape == (64, 4) and c.shape == (64,)
+    assert (np.abs(m) <= 1.0).all()
+    # the sampled grid positions (cols 0:2 of the ab half) should come from
+    # the high-certainty top half (grid y < 0), not the oob row 0
+    grid = np.asarray(rm._grid(H, W))
+    ab_rows = m[c > 0.5]
+    assert len(ab_rows) > 32  # high-certainty positions dominate
+    ys = ab_rows[:, 1]
+    assert (ys < 0).mean() > 0.9  # top half of the image
+    # nothing sampled from the oob row (y of row 0)
+    y0 = float(grid[0, 0, 1])
+    assert not np.isclose(ys, y0, atol=1e-6).any()
+
+
 def test_roma_pipeline_shapes():
     from deep_image_matching_tpu.models import roma as rm
 
