@@ -135,6 +135,9 @@ class ALIKEDExtractor(ExtractorBase):
     pixel_budget = 4_200_000
 
     def _run(self, prepped, dev_sink: list | None = None) -> list:
+        # a failed earlier _run may have left a pending chunk whose results
+        # list is gone; never materialize it into THIS call's results
+        self._pending_chunk = None
         pad_to = 32
         buckets: Dict[tuple, list] = {}
         for i, (arr, _) in enumerate(prepped):
@@ -168,6 +171,10 @@ class ALIKEDExtractor(ExtractorBase):
                         f"ALIKED extraction OOM at {ph}x{pw}; retrying with "
                         f"batch {bsz}"
                     )
+        # drain the 1-deep host-results pipeline (see _run_chunk)
+        pending, self._pending_chunk = self._pending_chunk, None
+        if pending is not None:
+            self._materialize_chunk(*pending, results)
         return results
 
     def _run_chunk(self, chunk, prepped, phw, batch_dtype, results,
@@ -205,6 +212,26 @@ class ALIKEDExtractor(ExtractorBase):
             np.asarray(out["mask"].sum())
             dev_sink.append((chunk, out))
             return
+        # host-results mode, 1-deep pipeline: force THIS chunk's execution
+        # with a scalar fetch (so an OOM surfaces here, in the chunk the
+        # bisection retry will split), start its bulk device->host copies,
+        # then materialize the PREVIOUS chunk — its downloads rode the
+        # transfer stream while this chunk computed.
+        np.asarray(out["mask"].sum())
+        for v in out.values():
+            if hasattr(v, "copy_to_host_async"):
+                try:
+                    v.copy_to_host_async()
+                except Exception:
+                    pass
+        pending = self._pending_chunk
+        self._pending_chunk = (chunk, out)
+        if pending is not None:
+            self._materialize_chunk(*pending, results)
+
+    _pending_chunk = None
+
+    def _materialize_chunk(self, chunk, out, results) -> None:
         out = {k: np.asarray(v) for k, v in out.items()}
         for j, i in enumerate(chunk):
             m = out["mask"][j]
