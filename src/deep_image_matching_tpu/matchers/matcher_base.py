@@ -679,6 +679,10 @@ class BatchedMatcher(MatcherBase):
             or os.environ.get("DIM_TPU_FORCE_DEVICE_STORE") == "1"
         ) and not getattr(store, "_device_failed", False)
 
+        from ..parallel.mesh import get_default_mesh
+
+        mesh = get_default_mesh()
+
         def dispatch(chunk):
             i0s = [j[1] for j in chunk]
             i1s = [j[2] for j in chunk]
@@ -688,10 +692,18 @@ class BatchedMatcher(MatcherBase):
                 # tiles-as-batch-dim on the HBM-resident store: the tile
                 # restriction is a device-side mask AND, so a tile-pair
                 # chunk uploads two small index vectors instead of
-                # re-uploading (B, K, D) descriptor slabs per chunk
+                # re-uploading (B, K, D) descriptor slabs per chunk; on a
+                # >1-device mesh the store replicates and the job batch
+                # shards (SPMD tiles-as-batch)
                 try:
-                    batch0 = store.gather_device_tiled(i0s, t0s)
-                    batch1 = store.gather_device_tiled(i1s, t1s)
+                    if mesh.n_devices > 1:
+                        batch0 = store.gather_device_mesh_tiled(i0s, t0s, mesh)
+                        batch1 = store.gather_device_mesh_tiled(i1s, t1s, mesh)
+                    else:
+                        batch0 = store.gather_device_tiled(i0s, t0s)
+                        batch1 = store.gather_device_tiled(i1s, t1s)
+                    batch0.pop("_ind", None)
+                    batch1.pop("_ind", None)
                     return self._match_batch_arrays(batch0, batch1)
                 except Exception as e:
                     store._device_failed = True
@@ -994,6 +1006,40 @@ class _PaddedFeatureStore:
         out = {k: _take_rows(v, ind) for k, v in dev.items()}
         out["_full"] = self._all_full(np.asarray(idx))
         out["_ind"] = ind
+        return out
+
+    def device_mesh_tile_idx(self, mesh) -> "object":
+        """Mesh-replicated per-keypoint tile indices (uploaded once)."""
+        if getattr(self, "_dev_mesh_tile", None) is None:
+            import jax
+
+            self._dev_mesh_tile = jax.device_put(
+                self.tile_idx, mesh.replicated()
+            )
+        return self._dev_mesh_tile
+
+    def gather_device_mesh_tiled(
+        self, idx: List[int], tiles: np.ndarray, mesh
+    ) -> Dict[str, "object"]:
+        """SPMD tiles-as-batch-dim gather: the mesh-replicated store +
+        tile-index table, a batch-sharded index vector, and the tile
+        restriction applied as a device-side mask AND — the multi-chip
+        generalization of :meth:`gather_device_tiled`."""
+        import jax
+
+        out = self.gather_device_mesh(idx, mesh)
+        ind = out["_ind"]
+        rows = _take_rows(self.device_mesh_tile_idx(mesh), ind)
+        arr = np.asarray(tiles, np.float32)
+        n = mesh.n_devices
+        target = -(-len(arr) // n) * n
+        if target != len(arr):
+            arr = np.concatenate(
+                [arr, np.repeat(arr[-1:], target - len(arr))]
+            )
+        tsel = jax.device_put(arr, mesh.batch_sharding(1))
+        out["mask"] = out["mask"] & (rows == tsel[:, None])
+        out["_full"] = False  # tile masks are partial by construction
         return out
 
     def keypoints_of(self, i: int) -> np.ndarray:

@@ -35,7 +35,7 @@ REFERENCE_IMAGES = Path(
 )
 
 
-def _run_pipeline(project_dir: Path, devices):
+def _run_pipeline(project_dir: Path, devices, tiling: bool = False):
     from deep_image_matching_tpu import image_matching
     from deep_image_matching_tpu.config import Config
     from deep_image_matching_tpu.parallel import mesh as mesh_mod
@@ -43,15 +43,19 @@ def _run_pipeline(project_dir: Path, devices):
     prev = mesh_mod._DEFAULT_MESH
     mesh_mod._DEFAULT_MESH = mesh_mod.MeshRunner(devices=devices)
     try:
-        cfg = Config(
-            args={
-                "dir": str(project_dir),
-                "pipeline": "sift+kornia_matcher",
-                "strategy": "bruteforce",
-                "skip_reconstruction": True,
-                "force": True,
-            }
-        )
+        args = {
+            "dir": str(project_dir),
+            "pipeline": "sift+kornia_matcher",
+            "strategy": "bruteforce",
+            "skip_reconstruction": True,
+            "force": True,
+        }
+        if tiling:
+            args["tiling"] = "grid"
+        cfg = Config(args=args)
+        if tiling:
+            cfg.general["tile_size"] = (400, 300)
+            cfg.general["tile_overlap"] = 20
         matcher = image_matching.ImageMatcher(cfg)
         feature_path, match_path = matcher.run()
     finally:
@@ -117,3 +121,50 @@ def test_pipeline_mesh_equals_single_device(tmp_path):
         np.testing.assert_array_equal(mm, ms, err_msg=f"pair {a}-{b}")
         total += len(mm)
     assert total > 200
+
+
+@pytest.mark.skipif(
+    not REFERENCE_IMAGES.exists(), reason="reference assets not available"
+)
+def test_tiled_pipeline_mesh_equals_single_device(tmp_path, monkeypatch):
+    """Tiled matching on the >1-device mesh (SPMD tiles-as-batch-dim:
+    replicated store + tile table, batch-sharded tile-pair jobs) must
+    reproduce the single-device tiled run exactly."""
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device (virtual CPU) test mesh")
+    # the CPU test env needs the device-store path forced on
+    monkeypatch.setenv("DIM_TPU_FORCE_DEVICE_STORE", "1")
+
+    proj_multi = tmp_path / "multi"
+    proj_single = tmp_path / "single"
+    for proj in (proj_multi, proj_single):
+        proj.mkdir()
+        shutil.copytree(REFERENCE_IMAGES, proj / "images")
+
+    from deep_image_matching_tpu.matchers import matcher_base as mb
+
+    calls = {"n": 0}
+    orig = mb._PaddedFeatureStore.gather_device_mesh_tiled
+
+    def spy(self, idx, tiles, mesh):
+        out = orig(self, idx, tiles, mesh)
+        calls["n"] += 1
+        return out
+
+    mb._PaddedFeatureStore.gather_device_mesh_tiled = spy
+    try:
+        _, match_m = _run_pipeline(proj_multi, devs, tiling=True)
+    finally:
+        mb._PaddedFeatureStore.gather_device_mesh_tiled = orig
+    assert calls["n"] > 0, "mesh tiled store gather did not engage"
+    _, match_s = _run_pipeline(proj_single, devs[:1], tiling=True)
+
+    pairs_m = {tuple(p) for p in list_pairs(match_m)}
+    pairs_s = {tuple(p) for p in list_pairs(match_s)}
+    assert pairs_m == pairs_s and len(pairs_m) >= 1
+    for a, b in sorted(pairs_m):
+        mm, ms = get_matches(match_m, a, b), get_matches(match_s, a, b)
+        mm = mm[np.lexsort(mm.T[::-1])]
+        ms = ms[np.lexsort(ms.T[::-1])]
+        np.testing.assert_array_equal(mm, ms, err_msg=f"pair {a}-{b}")
