@@ -88,6 +88,12 @@ def geometric_verification(
 
     cv_method = _CV2_METHODS.get(method, cv2.USAC_MAGSAC)
     try:
+        # cv2's RANSAC family draws from a process-global RNG: identical
+        # inputs would otherwise verify differently depending on how many
+        # cv2 calls ran before (observed as suite-order-dependent
+        # registration flakiness). Seeding per call makes host GV a pure
+        # function of its inputs, matching the device RANSAC's fixed key.
+        cv2.setRNGSeed(0)
         F, mask = cv2.findFundamentalMat(
             kpts0, kpts1, cv_method, threshold, confidence, max_iters
         )
