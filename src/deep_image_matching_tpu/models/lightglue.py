@@ -720,13 +720,27 @@ def default_assignment_impl() -> str:
 # ---------------------------------------------------------------------------
 
 _DEFAULT_PARAMS: Dict[str, Params] = {}
+_DEFAULT_PARAMS_RANDOM: set = set()
 
 
 def load_default_params(features: str = "superpoint", n_layers: int = 9) -> Params:
     """Pretrained weights if available (DIM_TPU_WEIGHTS_DIR /
-    <features>_lightglue.pth), else deterministic random init."""
+    <features>_lightglue.pth), else deterministic random init.
+
+    Cached RANDOM params re-consult the weights policy each call so a
+    strict() probe never silently receives random params another caller
+    cached under allow-random (see models/superpoint.py for the failure
+    this prevents)."""
     key = f"{features}:{n_layers}"
     if key in _DEFAULT_PARAMS:
+        if key in _DEFAULT_PARAMS_RANDOM:
+            from ..utils.weights import missing_weights
+
+            missing_weights(
+                f"LightGlue ({features})",
+                [f"{features}_lightglue.pth",
+                 f"{features}_lightglue_v0-1_arxiv.pth"],
+            )
         return _DEFAULT_PARAMS[key]
     import logging
     import os
@@ -760,6 +774,7 @@ def load_default_params(features: str = "superpoint", n_layers: int = 9) -> Para
         jax.random.PRNGKey(42), n_layers=n_layers, input_dim=input_dim
     )
     _DEFAULT_PARAMS[key] = params
+    _DEFAULT_PARAMS_RANDOM.add(key)
     return params
 
 

@@ -318,14 +318,26 @@ class SuperPointRunner:
 
 
 _DEFAULT_PARAMS = None
+_DEFAULT_PARAMS_RANDOM = False
 
 
 def load_default_params() -> Params:
     """Load pretrained SuperPoint weights if available, else deterministic
     random init (documented: pretrained weights require a torch checkpoint;
-    set DIM_TPU_WEIGHTS_DIR to a directory containing superpoint_v1.pth)."""
-    global _DEFAULT_PARAMS
+    set DIM_TPU_WEIGHTS_DIR to a directory containing superpoint_v1.pth).
+
+    Cached RANDOM params re-consult the weights policy on every call: a
+    strict() probe (e.g. the upright stage deciding between a real-weight
+    SuperPoint and the bundled-ALIKED fallback) must NOT silently receive
+    random params another caller cached under allow-random — that leak made
+    the upright probe run random-init in test suites and degraded rotated
+    scenes."""
+    global _DEFAULT_PARAMS, _DEFAULT_PARAMS_RANDOM
     if _DEFAULT_PARAMS is not None:
+        if _DEFAULT_PARAMS_RANDOM:
+            from ..utils.weights import missing_weights
+
+            missing_weights("SuperPoint", ["superpoint_v1.pth"])
         return _DEFAULT_PARAMS
     import logging
     import os
@@ -349,4 +361,5 @@ def load_default_params() -> Params:
 
     missing_weights("SuperPoint", ["superpoint_v1.pth"])
     _DEFAULT_PARAMS = init_params(jax.random.PRNGKey(0))
+    _DEFAULT_PARAMS_RANDOM = True
     return _DEFAULT_PARAMS

@@ -71,3 +71,49 @@ def test_config_flag_enables_random(strict, tmp_path, monkeypatch):
         general={"allow_random_weights": True},
     )
     assert W.random_weights_allowed()
+
+
+def test_cached_random_params_do_not_leak_into_strict_probes():
+    """Regression: loading random-init params under allow-random must not
+    poison later strict() probes through the module-level param caches —
+    this leak made the upright probe silently run a random SuperPoint after
+    any earlier allow-random test, degrading rotated-scene registration."""
+    from deep_image_matching_tpu.models import lightglue as lg
+    from deep_image_matching_tpu.models import superpoint as sp
+
+    sp_prev = (sp._DEFAULT_PARAMS, sp._DEFAULT_PARAMS_RANDOM)
+    lg_prev = (dict(lg._DEFAULT_PARAMS), set(lg._DEFAULT_PARAMS_RANDOM))
+    sp._DEFAULT_PARAMS, sp._DEFAULT_PARAMS_RANDOM = None, False
+    lg._DEFAULT_PARAMS.clear()
+    lg._DEFAULT_PARAMS_RANDOM.clear()
+    try:
+        W.set_allow_random_weights(True)
+        sp.load_default_params()   # caches RANDOM params
+        lg.load_default_params("superpoint")
+        W.set_allow_random_weights(False)
+        with pytest.raises(W.MissingWeightsError):
+            sp.load_default_params()
+        with pytest.raises(W.MissingWeightsError):
+            lg.load_default_params("superpoint")
+        # the upright probe must therefore not pick the random SuperPoint:
+        # with the bundled ALIKED checkpoint present it selects _AlikedProbe
+        from deep_image_matching_tpu import upright
+
+        try:
+            from deep_image_matching_tpu.extractors.aliked import load_params
+
+            load_params("aliked-n16rot")
+            have_aliked = True
+        except Exception:
+            have_aliked = False
+        if have_aliked:
+            W.set_allow_random_weights(None)
+            probe = upright._make_probe()
+            assert isinstance(probe, upright._AlikedProbe)
+    finally:
+        W.set_allow_random_weights(None)
+        sp._DEFAULT_PARAMS, sp._DEFAULT_PARAMS_RANDOM = sp_prev
+        lg._DEFAULT_PARAMS.clear()
+        lg._DEFAULT_PARAMS.update(lg_prev[0])
+        lg._DEFAULT_PARAMS_RANDOM.clear()
+        lg._DEFAULT_PARAMS_RANDOM.update(lg_prev[1])
