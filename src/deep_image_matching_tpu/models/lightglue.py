@@ -734,9 +734,9 @@ def load_default_params(features: str = "superpoint", n_layers: int = 9) -> Para
     key = f"{features}:{n_layers}"
     if key in _DEFAULT_PARAMS:
         if key in _DEFAULT_PARAMS_RANDOM:
-            from ..utils.weights import missing_weights
+            from ..utils.weights import reject_cached_random
 
-            missing_weights(
+            reject_cached_random(
                 f"LightGlue ({features})",
                 [f"{features}_lightglue.pth",
                  f"{features}_lightglue_v0-1_arxiv.pth"],

@@ -335,9 +335,9 @@ def load_default_params() -> Params:
     global _DEFAULT_PARAMS, _DEFAULT_PARAMS_RANDOM
     if _DEFAULT_PARAMS is not None:
         if _DEFAULT_PARAMS_RANDOM:
-            from ..utils.weights import missing_weights
+            from ..utils.weights import reject_cached_random
 
-            missing_weights("SuperPoint", ["superpoint_v1.pth"])
+            reject_cached_random("SuperPoint", ["superpoint_v1.pth"])
         return _DEFAULT_PARAMS
     import logging
     import os

@@ -90,6 +90,19 @@ def missing_weights(model: str, filenames: Sequence[str], note: str = "") -> Non
     )
 
 
+def reject_cached_random(model: str, filenames: Sequence[str],
+                         note: str = "") -> None:
+    """Call when about to serve CACHED random-init params from a
+    module-level cache: re-consults the policy so a strict() probe raises
+    MissingWeightsError instead of silently receiving random params another
+    caller cached under allow-random (the upright-probe leak). Unlike
+    :func:`missing_weights`, serving cached params under allow-random stays
+    silent — the first load already warned."""
+    if random_weights_allowed():
+        return
+    missing_weights(model, filenames, note)
+
+
 def classical_fallback(model: str, fallback: str) -> None:
     """Log (loudly) that a weight-free classical algorithm replaces a learned
     stage — valid output, different quality than the reference."""
