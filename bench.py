@@ -266,6 +266,23 @@ def _build_crop_project(name: str, n_img: int, size: int = 1024):
             np.float32
         )
         mosaic = cv2.GaussianBlur(noise, (0, 0), 3).astype(np.uint8)
+    # Break the tile-mosaic's exact self-repetition: duplicated texture makes
+    # correspondences ambiguous (mutual-NN and dual-softmax suppress
+    # near-tied duplicates), which starved the detector-free benches of
+    # verifiable matches. A smooth low-frequency intensity field makes every
+    # copy locally unique without adding texture of its own.
+    rng = np.random.default_rng(7)
+    field = rng.uniform(
+        -25, 25,
+        (mosaic.shape[0] // 32 + 2, mosaic.shape[1] // 32 + 2),
+    ).astype(np.float32)
+    field = cv2.resize(
+        field, (mosaic.shape[1], mosaic.shape[0]),
+        interpolation=cv2.INTER_CUBIC,
+    )
+    mosaic = np.clip(
+        mosaic.astype(np.float32) + field[..., None], 0, 255
+    ).astype(np.uint8)
     for i in range(n_img):
         dy = (i * 37) % (mosaic.shape[0] - size)
         dx = (i * 53) % (mosaic.shape[1] - size)
@@ -459,12 +476,26 @@ def bench_tiled(jax, jnp, rtt, on_tpu):
         )
         best = min(best, t_extract + t_match)
         verified = max(verified, n_ver)
+    # cold-image-cache column: t0/t1 hit the process-wide device image cache
+    # (real for repeated runs in one process — probes, re-runs, resume);
+    # this clears it so the first-visit cost (image uploads on the wire) is
+    # reported too, not hidden.
+    from deep_image_matching_tpu.utils.device_cache import image_cache
+
+    image_cache().clear()
+    t_extract, t_match, n_ver = one("cold")
+    cold = P / (t_extract + t_match)
+    log(
+        f"tiled cold-cache run: extract={t_extract:.2f}s "
+        f"match={t_match:.2f}s verified={n_ver}/{P} -> {cold:.2f} pairs/s"
+    )
     shutil.rmtree(proj, ignore_errors=True)
     log(
         f"tiled path (aliked+smnn, {N_IMG} x 2048px, 96 tile jobs): "
-        f"{P/best:.2f} pairs/s, {verified} pairs verified"
+        f"{P/best:.2f} pairs/s warm-cache / {cold:.2f} cold, "
+        f"{verified} pairs verified"
     )
-    return P / best, verified
+    return P / best, verified, cold
 
 
 def bench_loftr_pipeline(jax, jnp, rtt, on_tpu):
@@ -490,6 +521,8 @@ def bench_loftr_pipeline(jax, jnp, rtt, on_tpu):
     P = N_IMG * (N_IMG - 1) // 2
 
     def one(tag):
+        from deep_image_matching_tpu.io.h5 import list_pairs
+
         out = proj / f"out_{tag}"
         config = dim.Config(
             args={
@@ -504,8 +537,9 @@ def bench_loftr_pipeline(jax, jnp, rtt, on_tpu):
         fpath = matcher.extract_features()
         mpath = matcher.match_pairs(pairs, fpath)
         t_match = time.time() - t0
+        n_ver = len(list_pairs(mpath)) if Path(mpath).exists() else 0
         t0 = time.time()
-        # random weights can verify zero pairs; merge the raw matches then
+        # fall back to raw matches only if verification produced nothing,
         # so the track-merge stage still runs at realistic volume
         merge_src = (
             mpath if Path(mpath).exists() else out / "raw_matches.h5"
@@ -514,27 +548,28 @@ def bench_loftr_pipeline(jax, jnp, rtt, on_tpu):
             fpath, merge_src, out / "database.db", proj / "images",
         )
         t_merge = time.time() - t0
-        return t_match, t_merge
+        return t_match, t_merge, n_ver
 
     t0 = time.time()
     one("warm")
     log(f"loftr warmup (incl. compiles): {time.time() - t0:.1f}s")
-    best_match, best_total = float("inf"), float("inf")
+    best_match, best_total, verified = float("inf"), float("inf"), 0
     for r in range(2):
-        t_match, t_merge = one(f"t{r}")
+        t_match, t_merge, n_ver = one(f"t{r}")
         log(
             f"loftr run {r}: match={t_match:.2f}s merge={t_merge:.2f}s "
-            f"-> {P/(t_match+t_merge):.2f} pairs/s"
+            f"verified={n_ver}/{P} -> {P/(t_match+t_merge):.2f} pairs/s"
         )
         best_match = min(best_match, t_match)
         best_total = min(best_total, t_match + t_merge)
+        verified = max(verified, n_ver)
     shutil.rmtree(proj, ignore_errors=True)
     log(
         f"loftr pipeline ({N_IMG} x 640px, {P} pairs): "
         f"{P/best_total:.2f} pairs/s incl. track merge, "
-        f"{P/best_match:.2f} match stage"
+        f"{P/best_match:.2f} match stage, {verified} pairs verified"
     )
-    return P / best_total, P / best_match
+    return P / best_total, P / best_match, verified
 
 
 def bench_roma_pipeline(jax, jnp, rtt, on_tpu):
@@ -555,6 +590,8 @@ def bench_roma_pipeline(jax, jnp, rtt, on_tpu):
     P = N_IMG * (N_IMG - 1) // 2
 
     def one(tag):
+        from deep_image_matching_tpu.io.h5 import list_pairs
+
         out = proj / f"out_{tag}"
         config = dim.Config(
             args={
@@ -567,16 +604,25 @@ def bench_roma_pipeline(jax, jnp, rtt, on_tpu):
         pairs = matcher.generate_pairs()
         fpath = matcher.extract_features()
         t0 = time.time()
-        matcher.match_pairs(pairs, fpath)
-        return time.time() - t0
+        mpath = matcher.match_pairs(pairs, fpath)
+        t_match = time.time() - t0
+        n_ver = len(list_pairs(mpath)) if Path(mpath).exists() else 0
+        return t_match, n_ver
 
     t0 = time.time()
     one("warm")
     log(f"roma warmup (incl. compiles): {time.time() - t0:.1f}s")
-    best = min(one(f"t{r}") for r in range(2))
+    best, verified = float("inf"), 0
+    for r in range(2):
+        t_match, n_ver = one(f"t{r}")
+        best = min(best, t_match)
+        verified = max(verified, n_ver)
     shutil.rmtree(proj, ignore_errors=True)
-    log(f"roma pipeline ({N_IMG} x 640px, {P} pairs): {P/best:.2f} pairs/s")
-    return P / best
+    log(
+        f"roma pipeline ({N_IMG} x 640px, {P} pairs): {P/best:.2f} pairs/s, "
+        f"{verified} pairs verified"
+    )
+    return P / best, verified
 
 
 _EMIT_LOCK = __import__("threading").Lock()
@@ -732,27 +778,31 @@ def main():
         log(f"bench_aliked_default failed: {e!r}")
     try:
         if _left() > 120:
-            tiled_pps, tiled_ver = bench_tiled(jax, jnp, rtt, on_tpu)
+            tiled_pps, tiled_ver, tiled_cold = bench_tiled(jax, jnp, rtt, on_tpu)
             res["tiled_pairs_per_s"] = round(tiled_pps, 2)
             res["tiled_verified_pairs"] = int(tiled_ver)
+            res["tiled_cold_cache_pairs_per_s"] = round(tiled_cold, 2)
         else:
             log("skipping bench_tiled: time budget low")
     except Exception as e:  # noqa: BLE001
         log(f"bench_tiled failed: {e!r}")
     try:
         if _left() > 120:
-            loftr_pps, loftr_match_pps = bench_loftr_pipeline(jax, jnp, rtt, on_tpu)
+            loftr_pps, loftr_match_pps, loftr_ver = bench_loftr_pipeline(
+                jax, jnp, rtt, on_tpu
+            )
             res["loftr_pipeline_pairs_per_s"] = round(loftr_pps, 2)
             res["loftr_match_stage_pairs_per_s"] = round(loftr_match_pps, 2)
+            res["loftr_verified_pairs"] = int(loftr_ver)
         else:
             log("skipping bench_loftr_pipeline: time budget low")
     except Exception as e:  # noqa: BLE001
         log(f"bench_loftr_pipeline failed: {e!r}")
     try:
         if _left() > 150:
-            res["roma_pipeline_pairs_per_s"] = round(
-                bench_roma_pipeline(jax, jnp, rtt, on_tpu), 2
-            )
+            roma_pps, roma_ver = bench_roma_pipeline(jax, jnp, rtt, on_tpu)
+            res["roma_pipeline_pairs_per_s"] = round(roma_pps, 2)
+            res["roma_verified_pairs"] = int(roma_ver)
         else:
             log("skipping bench_roma_pipeline: time budget low")
     except Exception as e:  # noqa: BLE001

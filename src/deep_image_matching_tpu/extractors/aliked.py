@@ -79,6 +79,10 @@ class ALIKEDExtractor(ExtractorBase):
 
     def extract_batch(self, images: List[Image], feature_path) -> None:
         if self.tile_selection is not TileSelection.NONE:
+            # tiles cut on device from a once-uploaded image when possible;
+            # host per-image template otherwise
+            if self._try_extract_batch_tiled_device(images, feature_path):
+                return
             return super().extract_batch(images, feature_path)
         prepped = []
         for img in images:
@@ -262,3 +266,43 @@ class ALIKEDExtractor(ExtractorBase):
             for im in images
         ]
         return self._run(prepped)
+
+    def _extract_tiles_dev(self, tiles):
+        """Device-tiling hook: run a (T, th, tw, 3) HBM-resident tile batch
+        through the fused extract program in pixel-budget chunks; outputs
+        stay on device for the merge + handoff."""
+        import jax
+        import jax.numpy as jnp
+
+        T, th, tw = tiles.shape[:3]
+        # the backbone needs 32-multiple inputs (the host path buckets to
+        # 32-multiples too); pad on device, report the true extent via vhw
+        ph, pw = -(-th // 32) * 32, -(-tw // 32) * 32
+        if (ph, pw) != (th, tw):
+            tiles = jnp.pad(
+                tiles, ((0, 0), (0, ph - th), (0, pw - tw), (0, 0))
+            )
+        bsz = max(1, min(self.batch_size, self.pixel_budget // (ph * pw)))
+        outs = []
+        for s in range(0, T, bsz):
+            chunk = tiles[s : s + bsz]
+            vhw = jnp.tile(
+                jnp.array([[th, tw]], jnp.int32), (chunk.shape[0], 1)
+            )
+            outs.append(aliked_model.extract(
+                self.params, chunk, vhw,
+                max_keypoints=self.max_keypoints,
+                detection_threshold=self.detection_threshold,
+                nms_radius=self.nms_radius,
+                model_name=self.model_name,
+                compute_dtype=str(self.conf.get(
+                    "compute_dtype",
+                    "bfloat16" if jax.default_backend() != "cpu"
+                    else "float32",
+                )),
+            ))
+        if len(outs) == 1:
+            return outs[0]
+        return {
+            k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+        }

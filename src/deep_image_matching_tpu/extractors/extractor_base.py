@@ -46,13 +46,14 @@ class DeviceFeatureHandoff:
     the verification/gating host code needs.
     """
 
-    def __init__(self, names, counts, kpts, image_size, dev):
+    def __init__(self, names, counts, kpts, image_size, dev, tile_idx=None):
         self.names = list(names)
         self.index = {n: i for i, n in enumerate(self.names)}
         self.counts = counts          # (n,) int32, host
         self.kpts = kpts              # (n, K, 2) f32, host, full-res coords
         self.image_size = image_size  # (n, 2) int64, host
         self.dev = dev                # device dict: keypoints/descriptors/scores/mask
+        self.tile_idx = tile_idx      # (n, K) f32 host, -1 padding (tiled only)
 
     def covers(self, names) -> bool:
         return all(n in self.index for n in names)
@@ -101,16 +102,17 @@ class ExtractorBase:
         if w is not None:
             w.close()
 
-    def _device_handoff_allowed(self) -> bool:
+    def _device_handoff_allowed(self, tiled: bool = False) -> bool:
         """Device-resident handoff preconditions: orchestrated by
         ImageMatcher (feature_cache armed), an accelerator backend (or the
         test override), a 1-device mesh (the mesh path gathers pair batches
-        on host), and no tiling (tiles go through the per-image template)."""
+        on host). Tiling goes through the per-image host template unless the
+        caller is the device-tiling path (``tiled=True``)."""
         import os
 
         if self.feature_cache is None:
             return False
-        if self.tile_selection is not TileSelection.NONE:
+        if self.tile_selection is not TileSelection.NONE and not tiled:
             return False
         import jax
 
@@ -141,12 +143,15 @@ class ExtractorBase:
 
         order = np.concatenate([np.asarray(c, np.int64) for c, _ in chunks])
         perm = jnp.asarray(np.argsort(order).astype(np.int32))
+        keys = ("keypoints", "descriptors", "scores", "mask")
+        if all("tile_idx" in out for _, out in chunks):
+            keys = keys + ("tile_idx",)
         cat = {
             k: jnp.take(
                 jnp.concatenate([out[k] for _, out in chunks], axis=0),
                 perm, axis=0,
             )
-            for k in ("keypoints", "descriptors", "scores", "mask")
+            for k in keys
         }
         # full-res coords on device (f32 multiply is bitwise identical to
         # the host-path rescale) + the h5 storage-f16 roundtrip so a
@@ -159,10 +164,18 @@ class ExtractorBase:
             "scores": scores_f16.astype(jnp.float32),
             "mask": cat["mask"],
         }
-        # small host mirrors (verification/gating need keypoints + counts)
-        kpts_h, counts = jax.device_get(
-            (dev["keypoints"], cat["mask"].sum(axis=1))
-        )
+        # small host mirrors (verification/gating need keypoints + counts;
+        # tiled matching needs per-keypoint tile indices)
+        tile_h = None
+        if "tile_idx" in cat:
+            kpts_h, counts, tile_h = jax.device_get(
+                (dev["keypoints"], cat["mask"].sum(axis=1), cat["tile_idx"])
+            )
+            tile_h = np.asarray(tile_h, np.float32)
+        else:
+            kpts_h, counts = jax.device_get(
+                (dev["keypoints"], cat["mask"].sum(axis=1))
+            )
         # start the f16 batch's device->host copy NOW (after the blocking
         # kpts fetch above, so it can't queue ahead of it on a serial
         # transfer stream): it rides the transfer stream while the match
@@ -181,7 +194,7 @@ class ExtractorBase:
         image_size = np.asarray(image_size, np.int64)
         self.device_handoff = DeviceFeatureHandoff(
             names=names, counts=counts, kpts=kpts_h,
-            image_size=image_size, dev=dev,
+            image_size=image_size, dev=dev, tile_idx=tile_h,
         )
         # deferred h5: the writer thread pulls the f16 batch in ONE
         # device_get (half the bytes of the f32 store, one round trip
@@ -191,6 +204,7 @@ class ExtractorBase:
             writer.put_device_batch(
                 names=names, kpts=kpts_h, desc_f16=desc_f16,
                 scores_f16=scores_f16, image_size=image_size, counts=counts,
+                tile_idx=tile_h,
             )
         except BaseException:
             writer.close()
@@ -306,6 +320,103 @@ class ExtractorBase:
         SURVEY §7 step 7) — per-tile dispatch + upload round trips measured
         9.5 s of the 10 s tiled bench before batching."""
         return [self._trim(self._extract(im)) for im in images]
+
+    # ------------------------------------------------------- device tiling
+    def _extract_tiles_dev(self, tiles) -> Optional[Dict]:
+        """Hook: (T, th, tw[, C]) DEVICE tile batch -> padded device dict
+        ``keypoints (T,K,2)`` tile-local, ``descriptors (T,K,D)``,
+        ``scores (T,K)``, ``mask (T,K)``. Device extractors override; the
+        base returns None (no device tiling)."""
+        return None
+
+    def _supports_device_tiling(self) -> bool:
+        return (
+            type(self)._extract_tiles_dev
+            is not ExtractorBase._extract_tiles_dev
+        )
+
+    def _try_extract_batch_tiled_device(self, images, feature_path) -> bool:
+        """Tiled extraction with tiles cut ON DEVICE from a once-uploaded
+        (and process-cached) uint8 image, merged on device, feeding the
+        device-resident extract->match handoff.
+
+        Replaces the host tiled template for device extractors: the
+        reference path uploads every overlapping tile (~17 MB per 2048 px
+        RGB image at 1200 px tiles) and downloads f32 features per tile;
+        this path uploads the image once (0 bytes on a device-image-cache
+        hit), keeps descriptors in HBM end-to-end, and returns only small
+        keypoint/count/tile-index mirrors to host. Falls back to the host
+        template (returns False) on any failure."""
+        max_kpts = self._max_keypoints()
+        if (
+            not self._supports_device_tiling()
+            or not self._device_handoff_allowed(tiled=True)
+            or not max_kpts
+        ):
+            return False
+        try:
+            import jax.numpy as jnp
+
+            from ..ops.tile_merge import cut_tiles, merge_tile_features
+            from ..utils.tiling import Tiler
+
+            tiler = Tiler()
+            chunks, fac, sizes, names = [], [], [], []
+            for i, img in enumerate(images):
+                dev_img, (ch, cw), (w0, h0) = self._device_image_tiled(img)
+                origins, padding, (th, tw) = tiler.tile_origins(
+                    (ch, cw), self.tile_size, self.tile_overlap
+                )
+                top, _, left, _ = padding
+                starts = np.stack(
+                    [origins[:, 1] + top, origins[:, 0] + left], axis=1
+                ).astype(np.int32)
+                tiles = cut_tiles(
+                    dev_img, jnp.asarray(starts),
+                    tile_hw=(th, tw), pad=tuple(padding),
+                )
+                out = self._extract_tiles_dev(tiles)
+                merged = merge_tile_features(
+                    out["keypoints"], out["scores"], out["descriptors"],
+                    out["mask"], jnp.asarray(origins, jnp.float32),
+                    jnp.asarray([cw, ch], jnp.float32), max_kpts,
+                )
+                chunks.append(([i], {k: v[None] for k, v in merged.items()}))
+                fac.append((w0 / cw, h0 / ch))
+                sizes.append((w0, h0))
+                names.append(img.name)
+            self._arm_device_handoff(
+                names=names, chunks=chunks,
+                fac=np.asarray(fac, np.float32), image_size=sizes,
+                feature_path=feature_path,
+            )
+            return True
+        except Exception as e:
+            logger.warning(
+                f"Device tiled extraction unavailable "
+                f"({type(e).__name__}: {e}); using the host tiled path"
+            )
+            self.device_handoff = None
+            return False
+
+    def _device_image_tiled(self, img: Image):
+        """The (quality-resized, uint8) image as a device array, via the
+        process-wide device image cache: decoded + uploaded at most once per
+        (file, view). Returns (device_array, (cur_h, cur_w), (w0, h0))."""
+        from ..utils.device_cache import file_key, image_cache
+
+        key = file_key(img.path, self.grayscale, self.quality.name, "tiled")
+        hit = image_cache().get(key)
+        if hit is not None:
+            dev_img, (cur_hw, orig_wh) = hit
+            return dev_img, cur_hw, orig_wh
+        arr = read_image(img.path, grayscale=self.grayscale)
+        h0, w0 = arr.shape[:2]
+        arr = self._quality_resize(arr)
+        cur_hw = arr.shape[:2]
+        meta = (cur_hw, (w0, h0))
+        dev_img = image_cache().put(key, arr, meta=meta)
+        return dev_img, cur_hw, (w0, h0)
 
     def _extract_by_tile(self, image: np.ndarray) -> FeaturesDict:
         """Tile the image, extract per tile, offset to image coordinates,

@@ -49,8 +49,11 @@ class SuperPointExtractor(ExtractorBase):
 
     def extract_batch(self, images: List[Image], feature_path) -> None:
         if self.tile_selection is not TileSelection.NONE:
-            # tiled path goes through the per-image template (tiles batched
-            # inside _extract_by_tile via the runner)
+            # tiles cut on device from a once-uploaded image when possible;
+            # otherwise the per-image template (tiles batched inside
+            # _extract_by_tile via the runner)
+            if self._try_extract_batch_tiled_device(images, feature_path):
+                return
             return super().extract_batch(images, feature_path)
         prepped = []
         for img in images:
@@ -141,6 +144,41 @@ class SuperPointExtractor(ExtractorBase):
     # tiles stay uint8 on host; the device program normalizes (the untiled
     # extract_batch path already does this)
     tile_uint8 = True
+
+    def _extract_tiles_dev(self, tiles):
+        """Device-tiling hook: run a (T, th, tw) HBM-resident grayscale tile
+        batch through the fused extract program in runner-batch chunks;
+        outputs stay on device for the merge + handoff."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.superpoint import extract as sp_extract
+
+        r = self._runner
+        if tiles.ndim == 4:  # (T, th, tw, C) -> grayscale mean
+            tiles = jnp.mean(tiles.astype(jnp.float32) / 255.0, axis=-1)
+        x = tiles[..., None]
+        T, th, tw = x.shape[:3]
+        # backbone downsamples /8: pad on device, report true extent via vhw
+        ph, pw = -(-th // 8) * 8, -(-tw // 8) * 8
+        if (ph, pw) != (th, tw):
+            x = jnp.pad(x, ((0, 0), (0, ph - th), (0, pw - tw), (0, 0)))
+        cdt = "bfloat16" if jax.default_backend() != "cpu" else "float32"
+        outs = []
+        for s in range(0, T, r.batch_size):
+            chunk = x[s : s + r.batch_size]
+            vhw = jnp.tile(
+                jnp.array([[th, tw]], jnp.int32), (chunk.shape[0], 1)
+            )
+            outs.append(sp_extract(
+                r.params, chunk, vhw, r.max_keypoints, r.nms_radius,
+                r.keypoint_threshold, r.remove_borders, compute_dtype=cdt,
+            ))
+        if len(outs) == 1:
+            return outs[0]
+        return {
+            k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+        }
 
     def _extract_many(self, images) -> list:
         """Tiles-as-batch: the runner buckets same-shape tiles into ONE

@@ -79,15 +79,17 @@ class _DeviceBatch:
     kwarg of the same name)."""
 
     __slots__ = ("names", "kpts", "desc_f16", "scores_f16", "image_size",
-                 "counts")
+                 "counts", "tile_idx")
 
-    def __init__(self, names, kpts, desc_f16, scores_f16, image_size, counts):
+    def __init__(self, names, kpts, desc_f16, scores_f16, image_size, counts,
+                 tile_idx=None):
         self.names = names
         self.kpts = kpts
         self.desc_f16 = desc_f16
         self.scores_f16 = scores_f16
         self.image_size = image_size
         self.counts = counts
+        self.tile_idx = tile_idx  # host (n, K) f32 or None (tiled only)
 
 
 class AsyncFeatureWriter:
@@ -138,6 +140,7 @@ class AsyncFeatureWriter:
                 keypoints=kpts[i],
                 descriptors=desc_h[i],
                 scores=scores_h[i],
+                tile_idx=None if b.tile_idx is None else b.tile_idx[i],
                 image_size=image_size[i],
                 n_valid=int(counts[i]),
             )
@@ -148,7 +151,8 @@ class AsyncFeatureWriter:
         self._q.put({"name": name, **arrays})
 
     def put_device_batch(
-        self, names, kpts, desc_f16, scores_f16, image_size, counts
+        self, names, kpts, desc_f16, scores_f16, image_size, counts,
+        tile_idx=None,
     ) -> None:
         """Enqueue one whole extraction batch (device arrays stay on device
         until the writer thread pulls them in a single transfer). Callers
@@ -157,7 +161,7 @@ class AsyncFeatureWriter:
         if self._error is not None:
             raise RuntimeError("Async writer failed earlier") from self._error
         self._q.put(_DeviceBatch(
-            names, kpts, desc_f16, scores_f16, image_size, counts
+            names, kpts, desc_f16, scores_f16, image_size, counts, tile_idx
         ))
 
     def close(self) -> None:

@@ -866,8 +866,12 @@ class _PaddedFeatureStore:
         self.kpts = handoff.kpts[rows]
         self.image_size = handoff.image_size[rows]
         cap = handoff.kpts.shape[1]
-        self.tile_idx = np.full((len(names), cap), -1.0, np.float32)
-        self.has_tiles = False
+        if handoff.tile_idx is not None:
+            self.tile_idx = handoff.tile_idx[rows]
+            self.has_tiles = True
+        else:
+            self.tile_idx = np.full((len(names), cap), -1.0, np.float32)
+            self.has_tiles = False
         ind = jnp.asarray(rows)
         self._dev = {
             k: jnp.take(v, ind, axis=0) for k, v in handoff.dev.items()

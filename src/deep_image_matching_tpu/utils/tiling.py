@@ -54,16 +54,16 @@ class Tiler:
         origins = {i: (int(origins_arr[i, 0]), int(origins_arr[i, 1])) for i in range(len(origins_arr))}
         return tiles, origins, padding
 
-    def compute_tiles_array(
+    def tile_origins(
         self,
-        input: np.ndarray,
+        shape_hw: IntPair,
         window_size: Union[int, IntPair],
         overlap: Union[int, IntPair] = 0,
-    ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int, int, int]]:
-        """Array-native variant: returns (tiles (N,h,w[,C]), origins (N,2) x/y,
-        padding)."""
-        if not isinstance(input, np.ndarray):
-            raise TypeError("input must be a numpy array")
+    ) -> Tuple[np.ndarray, Tuple[int, int, int, int], IntPair]:
+        """Pure grid geometry, no pixels: returns (origins (N,2) x/y in
+        original image coords, padding (top,bottom,left,right), (wh, ww)).
+        Used by the device-tiling path, which uploads the image once and
+        slices tiles in HBM instead of materializing them on host."""
         if isinstance(window_size, int):
             wh, ww = window_size, window_size
         else:
@@ -75,27 +75,47 @@ class Tiler:
         if oh >= wh or ow >= ww:
             raise ValueError("overlap must be smaller than the window size")
 
-        H, W = input.shape[:2]
+        H, W = int(shape_hw[0]), int(shape_hw[1])
         pad_h = (-H) % wh
         pad_w = (-W) % ww
         top, bottom = pad_h // 2, pad_h - pad_h // 2
         left, right = pad_w // 2, pad_w - pad_w // 2
-        pad_spec = [(top, bottom), (left, right)] + [(0, 0)] * (input.ndim - 2)
-        padded = np.pad(input, pad_spec, mode="constant")
 
         sh, sw = wh - oh, ww - ow
-        Hp, Wp = padded.shape[:2]
+        Hp, Wp = H + pad_h, W + pad_w
         ys = list(range(0, Hp - wh + 1, sh))
         xs = list(range(0, Wp - ww + 1, sw))
         self._n_rows, self._n_cols = len(ys), len(xs)
-
-        tiles = np.stack(
-            [padded[y : y + wh, x : x + ww] for y in ys for x in xs], axis=0
-        )
         origins = np.array(
             [(x - left, y - top) for y in ys for x in xs], dtype=np.int32
         )
-        return tiles, origins, (top, bottom, left, right)
+        return origins, (top, bottom, left, right), (wh, ww)
+
+    def compute_tiles_array(
+        self,
+        input: np.ndarray,
+        window_size: Union[int, IntPair],
+        overlap: Union[int, IntPair] = 0,
+    ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int, int, int]]:
+        """Array-native variant: returns (tiles (N,h,w[,C]), origins (N,2) x/y,
+        padding)."""
+        if not isinstance(input, np.ndarray):
+            raise TypeError("input must be a numpy array")
+        origins, padding, (wh, ww) = self.tile_origins(
+            input.shape[:2], window_size, overlap
+        )
+        top, bottom, left, right = padding
+        pad_spec = [(top, bottom), (left, right)] + [(0, 0)] * (input.ndim - 2)
+        padded = np.pad(input, pad_spec, mode="constant")
+
+        tiles = np.stack(
+            [
+                padded[y + top : y + top + wh, x + left : x + left + ww]
+                for x, y in origins
+            ],
+            axis=0,
+        )
+        return tiles, origins, padding
 
     def compute_tiles_by_grid(
         self,
