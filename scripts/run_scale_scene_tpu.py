@@ -30,6 +30,10 @@ def log(msg):
 
 
 def main():
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    logging.getLogger("dim_tpu").setLevel(logging.INFO)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=60)
     ap.add_argument("--pipeline", choices=["aliked", "superpoint"],
@@ -104,6 +108,15 @@ def main():
     else:
         _, images, points3D = rec
         reg, pts = len(images), len(points3D)
+        registered = {im.name for im in images.values()}
+        missing = sorted(
+            p.name for p in (proj / "images").iterdir()
+            if p.name not in registered
+        )
+        if missing:
+            # per-image reasons come from IncrementalMapper.registration_report
+            # via the dim_tpu logger (enabled above at INFO)
+            log(f"unregistered images: {missing}")
 
     total = sum(t.values())
     print(f"\nScale scene: {n} images (max_side {args.max_side}), "

@@ -84,15 +84,37 @@ class ALIKEDExtractor(ExtractorBase):
             if self._try_extract_batch_tiled_device(images, feature_path):
                 return
             return super().extract_batch(images, feature_path)
-        prepped = []
-        for img in images:
-            # uint8 end-to-end on host; the device program normalizes
-            arr = read_image(img.path, grayscale=False)
-            h, w = arr.shape[:2]
-            if self.quality is not Quality.HIGH:
-                nw, nh = get_size_by_quality(self.quality, (w, h))
-                arr = resize_image(arr, (max(nw, 1), max(nh, 1)))
-            prepped.append((arr, (w, h)))
+        prepped = None
+        if self._device_handoff_allowed():
+            # decode-prefetch: thread-pool decode + per-image uint8 upload
+            # (device image cache) overlapped with the link; batch assembly
+            # then happens on device (ops/assemble.py)
+            try:
+                from ..utils.prefetch import prefetch_device_images
+
+                futs = prefetch_device_images(
+                    images, False, self._quality_resize, self.quality.name
+                )
+                prepped = [
+                    (dev, orig_wh)
+                    for dev, _, orig_wh in (f.result() for f in futs)
+                ]
+            except Exception as e:
+                logger.warning(
+                    f"Decode prefetch unavailable "
+                    f"({type(e).__name__}: {e}); decoding inline"
+                )
+                prepped = None
+        if prepped is None:
+            prepped = []
+            for img in images:
+                # uint8 end-to-end on host; the device program normalizes
+                arr = read_image(img.path, grayscale=False)
+                h, w = arr.shape[:2]
+                if self.quality is not Quality.HIGH:
+                    nw, nh = get_size_by_quality(self.quality, (w, h))
+                    arr = resize_image(arr, (max(nw, 1), max(nh, 1)))
+                prepped.append((arr, (w, h)))
         if self._device_handoff_allowed():
             dev_chunks: list = []
             try:
@@ -186,18 +208,26 @@ class ALIKEDExtractor(ExtractorBase):
         import jax
         import jax.numpy as jnp
 
+        from ..ops.assemble import assemble_batch, is_device_array
+
         ph, pw = phw
-        batch = np.zeros((len(chunk), ph, pw, 3), batch_dtype)
-        vhw = np.zeros((len(chunk), 2), np.int32)
-        for j, i in enumerate(chunk):
-            arr = prepped[i][0]
-            if batch_dtype == np.float32 and arr.dtype == np.uint8:
-                arr = arr.astype(np.float32) / 255.0
-            h, w = arr.shape[:2]
-            if arr.ndim == 2:
-                arr = np.repeat(arr[..., None], 3, axis=-1)
-            batch[j, :h, :w] = arr
-            vhw[j] = (h, w)
+        imgs = [prepped[i][0] for i in chunk]
+        vhw = np.asarray(
+            [[im.shape[0], im.shape[1]] for im in imgs], np.int32
+        )
+        if any(is_device_array(im) for im in imgs):
+            # decode-prefetched images are already in HBM: pad + stack on
+            # device instead of re-crossing the link
+            batch = assemble_batch(imgs, (ph, pw), channels=3)
+        else:
+            batch = np.zeros((len(chunk), ph, pw, 3), batch_dtype)
+            for j, arr in enumerate(imgs):
+                if batch_dtype == np.float32 and arr.dtype == np.uint8:
+                    arr = arr.astype(np.float32) / 255.0
+                h, w = arr.shape[:2]
+                if arr.ndim == 2:
+                    arr = np.repeat(arr[..., None], 3, axis=-1)
+                batch[j, :h, :w] = arr
         out = aliked_model.extract(
             self.params, jnp.asarray(batch), jnp.asarray(vhw),
             max_keypoints=self.max_keypoints,

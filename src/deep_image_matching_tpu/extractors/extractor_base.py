@@ -362,8 +362,16 @@ class ExtractorBase:
 
             tiler = Tiler()
             chunks, fac, sizes, names = [], [], [], []
+            # decode-prefetch: image i+1 decodes and uploads while image i's
+            # tile batch runs the extract program
+            from ..utils.prefetch import prefetch_device_images
+
+            futs = prefetch_device_images(
+                images, self.grayscale, self._quality_resize,
+                self.quality.name,
+            )
             for i, img in enumerate(images):
-                dev_img, (ch, cw), (w0, h0) = self._device_image_tiled(img)
+                dev_img, (ch, cw), (w0, h0) = futs[i].result()
                 origins, padding, (th, tw) = tiler.tile_origins(
                     (ch, cw), self.tile_size, self.tile_overlap
                 )
@@ -402,21 +410,14 @@ class ExtractorBase:
     def _device_image_tiled(self, img: Image):
         """The (quality-resized, uint8) image as a device array, via the
         process-wide device image cache: decoded + uploaded at most once per
-        (file, view). Returns (device_array, (cur_h, cur_w), (w0, h0))."""
-        from ..utils.device_cache import file_key, image_cache
+        (file, view) — the view key is shared with the untiled prefetch
+        path, so a tiled re-run after an untiled probe re-uses the upload.
+        Returns (device_array, (cur_h, cur_w), (w0, h0))."""
+        from ..utils.prefetch import fetch_device_image
 
-        key = file_key(img.path, self.grayscale, self.quality.name, "tiled")
-        hit = image_cache().get(key)
-        if hit is not None:
-            dev_img, (cur_hw, orig_wh) = hit
-            return dev_img, cur_hw, orig_wh
-        arr = read_image(img.path, grayscale=self.grayscale)
-        h0, w0 = arr.shape[:2]
-        arr = self._quality_resize(arr)
-        cur_hw = arr.shape[:2]
-        meta = (cur_hw, (w0, h0))
-        dev_img = image_cache().put(key, arr, meta=meta)
-        return dev_img, cur_hw, (w0, h0)
+        return fetch_device_image(
+            img, self.grayscale, self._quality_resize, self.quality.name
+        )
 
     def _extract_by_tile(self, image: np.ndarray) -> FeaturesDict:
         """Tile the image, extract per tile, offset to image coordinates,

@@ -55,19 +55,49 @@ class SuperPointExtractor(ExtractorBase):
             if self._try_extract_batch_tiled_device(images, feature_path):
                 return
             return super().extract_batch(images, feature_path)
-        prepped = []
-        for img in images:
-            # uint8 end-to-end on host; the device program normalizes
-            # (4x smaller uploads than f32)
-            arr = read_image(img.path, grayscale=True)
-            h, w = arr.shape
-            if self.quality is not Quality.HIGH:
-                nw, nh = get_size_by_quality(self.quality, (w, h))
-                arr = resize_image(arr, (max(nw, 1), max(nh, 1)))
-            # scale factors back to full res handled via orig size below
-            prepped.append((arr, arr.shape[0] / h, (w, h)))
+        prepped = None
+        if self._device_handoff_allowed():
+            # decode-prefetch: a thread pool decodes and uploads each image
+            # (uint8, via the device image cache) while earlier uploads ride
+            # the link — the 7.1 ms/img serial JPEG decode no longer
+            # serializes with the transfer (docs/architecture.md round-4
+            # extract budget)
+            try:
+                from ..utils.prefetch import prefetch_device_images
+
+                futs = prefetch_device_images(
+                    images, True, self._quality_resize, self.quality.name
+                )
+                prepped = [
+                    (dev, 1.0, orig_wh)
+                    for dev, _, orig_wh in (f.result() for f in futs)
+                ]
+            except Exception as e:
+                logger.warning(
+                    f"Decode prefetch unavailable "
+                    f"({type(e).__name__}: {e}); decoding inline"
+                )
+                prepped = None
+        if prepped is None:
+            prepped = []
+            for img in images:
+                # uint8 end-to-end on host; the device program normalizes
+                # (4x smaller uploads than f32)
+                arr = read_image(img.path, grayscale=True)
+                h, w = arr.shape
+                if self.quality is not Quality.HIGH:
+                    nw, nh = get_size_by_quality(self.quality, (w, h))
+                    arr = resize_image(arr, (max(nw, 1), max(nh, 1)))
+                # scale factors back to full res handled via orig size below
+                prepped.append((arr, arr.shape[0] / h, (w, h)))
         if self._try_extract_batch_device(images, prepped, feature_path):
             return
+        if any(not isinstance(p[0], np.ndarray) for p in prepped):
+            # device handoff fell through after prefetch: re-read on host for
+            # the host path (pixels are a re-decode away; rare path)
+            prepped = [
+                (np.asarray(p[0]), p[1], p[2]) for p in prepped
+            ]
         # runner rescales keypoints by 1/scale; our scale is isotropic only
         # when quality resize preserves aspect (it does: both dims scaled by
         # the same quality factor modulo rounding). Use exact per-axis

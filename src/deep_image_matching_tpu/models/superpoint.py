@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.assemble import assemble_batch, is_device_array
 from ..ops.detect import sample_descriptors_sp, select_topk, simple_nms
 
 Params = Dict[str, Dict[str, jnp.ndarray]]
@@ -244,15 +245,22 @@ class SuperPointRunner:
             else np.float32
         )
         def _dispatch(chunk):
-            batch = np.zeros((len(chunk), ph, pw, 1), batch_dtype)
-            vhw = np.zeros((len(chunk), 2), np.int32)
-            for j, i in enumerate(chunk):
-                img = prepped[i][0]
-                if batch_dtype == np.float32 and img.dtype == np.uint8:
-                    img = img.astype(np.float32) / 255.0
-                h, w = img.shape
-                batch[j, :h, :w, 0] = img
-                vhw[j] = (h, w)
+            imgs = [prepped[i][0] for i in chunk]
+            vhw = np.asarray(
+                [[im.shape[0], im.shape[1]] for im in imgs], np.int32
+            )
+            if any(is_device_array(im) for im in imgs):
+                # decode-prefetched images are already in HBM (uploaded one
+                # uint8 transfer per image, overlapped with decode): pad +
+                # stack on device, never re-crossing the link
+                batch = assemble_batch(imgs, (ph, pw), channels=1)
+            else:
+                batch = np.zeros((len(chunk), ph, pw, 1), batch_dtype)
+                for j, im in enumerate(imgs):
+                    if batch_dtype == np.float32 and im.dtype == np.uint8:
+                        im = im.astype(np.float32) / 255.0
+                    h, w = im.shape
+                    batch[j, :h, :w, 0] = im
             out = dict(extract(
                 self.params, jnp.asarray(batch), jnp.asarray(vhw),
                 self.max_keypoints, self.nms_radius,

@@ -223,6 +223,10 @@ class IncrementalMapper:
         }
         self.points: Dict[int, np.ndarray] = {}    # track id -> xyz
         self.reg_order: List[int] = []
+        # image_id -> human-readable reason the LAST registration attempt
+        # failed (surfaced by run()'s final report; reference analog: COLMAP
+        # logs per-image registration failures during mapping)
+        self.reg_failures: Dict[int, str] = {}
 
     # -- helpers ----------------------------------------------------------
 
@@ -382,6 +386,10 @@ class IncrementalMapper:
         opt = self.opt
         vis = self._visible_correspondences(img_id)
         if vis is None:
+            self.reg_failures[img_id] = (
+                "no 2D-3D correspondences (shares no reconstructed track "
+                "with the model)"
+            )
             return False
         tids, X, uv = vis
         intr = self.intr[self.data.image_cam[img_id]]
@@ -390,14 +398,24 @@ class IncrementalMapper:
             rng=self.rng,
         )
         if res is None:
+            self.reg_failures[img_id] = (
+                f"PnP RANSAC found no pose from {len(tids)} 2D-3D "
+                f"correspondences (thresh {opt.abs_pose_thresh_px:.1f} px)"
+            )
             return False
         R, t, mask = res
         if mask.sum() < opt.abs_pose_min_inliers:
+            self.reg_failures[img_id] = (
+                f"PnP inliers {int(mask.sum())}/{len(mask)} below the "
+                f"abs_pose_min_inliers={opt.abs_pose_min_inliers} gate "
+                f"(thresh {opt.abs_pose_thresh_px:.1f} px)"
+            )
             logger.debug(
                 f"register {self.data.image_names[img_id]}: only "
                 f"{int(mask.sum())} PnP inliers"
             )
             return False
+        self.reg_failures.pop(img_id, None)
         self.poses[img_id] = np.concatenate([geom.matrix_to_rotvec(R), t])
         self.reg_order.append(img_id)
         logger.info(
@@ -709,7 +727,36 @@ class IncrementalMapper:
             f"Native mapper: {len(self.poses)}/{len(self.data.image_names)} "
             f"images registered, {len(self.points)} 3D points"
         )
+        for name, reason in self.registration_report().items():
+            logger.info(f"Unregistered {name}: {reason}")
         return len(self.poses) >= 2
+
+    def registration_report(self) -> Dict[str, str]:
+        """image name -> why it is NOT in the model (empty when all
+        registered). Reasons come from the last failed registration attempt;
+        images that never reached PnP are diagnosed here from their
+        track/candidate state."""
+        report: Dict[str, str] = {}
+        for img_id, name in self.data.image_names.items():
+            if img_id in self.poses:
+                continue
+            reason = self.reg_failures.get(img_id)
+            if reason is None:
+                if not self.img_tracks[img_id]:
+                    reason = (
+                        "no feature tracks (image has no verified matches, "
+                        "or all its match components were ambiguous)"
+                    )
+                else:
+                    vis = self._visible_correspondences(img_id)
+                    n = 0 if vis is None else len(vis[0])
+                    reason = (
+                        f"only {n} visible 2D-3D correspondences (< 6 needed "
+                        "for PnP) — likely a different connected component "
+                        "or verified-pair starvation"
+                    )
+            report[name] = reason
+        return report
 
     # -- export ------------------------------------------------------------
 
@@ -911,6 +958,41 @@ def native_triangulate_points(
     return cameras, images, points3D
 
 
+def scene_components(data: SfMData) -> List[set]:
+    """Connected components of the IMAGE graph (an edge per verified pair),
+    largest first. A disconnected scene graph yields multiple independent
+    models; the reference gets this from COLMAP's multi-model output and
+    keeps the largest (``reconstruction.py:81-89``)."""
+    parent: Dict[int, int] = {i: i for i in data.image_names}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (i0, i1), m in data.pair_matches.items():
+        if len(m) and i0 in parent and i1 in parent:
+            parent[find(i0)] = find(i1)
+    comps: Dict[int, set] = {}
+    for i in parent:
+        comps.setdefault(find(i), set()).add(i)
+    return sorted(comps.values(), key=len, reverse=True)
+
+
+def _component_subset(data: SfMData, comp: set) -> SfMData:
+    return SfMData(
+        image_names={i: n for i, n in data.image_names.items() if i in comp},
+        image_cam={i: c for i, c in data.image_cam.items() if i in comp},
+        keypoints={i: k for i, k in data.keypoints.items() if i in comp},
+        cameras=data.cameras,
+        pair_matches={
+            p: m for p, m in data.pair_matches.items()
+            if p[0] in comp and p[1] in comp
+        },
+    )
+
+
 def native_incremental_mapping(
     database_path: Path,
     image_dir: Path,
@@ -923,6 +1005,10 @@ def native_incremental_mapping(
 
     Returns (cameras, images, points3D) dicts or None on failure; writes the
     COLMAP text model and model.ply under ``output_dir/reconstruction``.
+
+    A disconnected scene graph is mapped per connected component and the
+    largest resulting model is kept — the behavior the reference gets from
+    COLMAP's multi-model output (``reconstruction.py:81-89``).
     """
     known = {f for f in MapperOptions.__dataclass_fields__}
     opts = dict(options or {})
@@ -935,9 +1021,32 @@ def native_incremental_mapping(
     if not data.pair_matches:
         logger.error("Native mapper: database has no verified matches")
         return None
-    mapper = IncrementalMapper(data, opt)
-    if not mapper.run():
-        return None
+    comps = [c for c in scene_components(data) if len(c) >= 2]
+    mapper = None
+    if len(comps) > 1:
+        logger.info(
+            f"Scene graph has {len(comps)} connected components "
+            f"(sizes {[len(c) for c in comps]}); mapping each and keeping "
+            "the largest model"
+        )
+        best_key = None
+        for ci, comp in enumerate(comps):
+            m = IncrementalMapper(_component_subset(data, comp), opt)
+            ok = m.run()
+            n_reg, n_pts = len(m.poses), len(m.points)
+            logger.info(
+                f"Component {ci}: {'mapped' if ok else 'FAILED'} "
+                f"{n_reg}/{len(comp)} images, {n_pts} points"
+            )
+            key = (n_reg, n_pts) if ok else (-1, -1)
+            if best_key is None or key > best_key:
+                best_key, mapper = key, m
+        if best_key is None or best_key[0] < 2:
+            return None
+    else:
+        mapper = IncrementalMapper(data, opt)
+        if not mapper.run():
+            return None
     rec_dir = Path(output_dir) / "reconstruction"
     rec_dir.mkdir(parents=True, exist_ok=True)
     cameras, images, points3D = mapper.to_colmap_model(image_dir)

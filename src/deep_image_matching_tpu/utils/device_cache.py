@@ -18,6 +18,7 @@ holds ~80 such images) and is configurable via ``DIM_TPU_IMAGE_CACHE_MB``
 from __future__ import annotations
 
 import os
+import threading
 from collections import OrderedDict
 from typing import Hashable, Optional, Tuple
 
@@ -35,14 +36,20 @@ class DeviceImageCache:
             OrderedDict()
         )
         self._total = 0
+        # decode-prefetch threads get/put concurrently; a coarse lock keeps
+        # the LRU bookkeeping consistent (a racing double-upload of the same
+        # key would only waste one transfer, but the byte accounting must
+        # not drift)
+        self._lock = threading.Lock()
 
     def get(self, key: Hashable) -> Optional[Tuple[object, object]]:
         """Returns (device_array, meta) and refreshes LRU order, or None."""
-        e = self._entries.pop(key, None)
-        if e is None:
-            return None
-        self._entries[key] = e
-        return e[0], e[1]
+        with self._lock:
+            e = self._entries.pop(key, None)
+            if e is None:
+                return None
+            self._entries[key] = e
+            return e[0], e[1]
 
     def put(self, key: Hashable, host_array: np.ndarray, meta=None):
         """Upload ``host_array`` once and cache it. Returns the device array.
@@ -54,19 +61,21 @@ class DeviceImageCache:
         nbytes = int(host_array.nbytes)
         if self.max_bytes <= 0 or nbytes > self.max_bytes:
             return arr
-        old = self._entries.pop(key, None)
-        if old is not None:
-            self._total -= old[2]
-        while self._total + nbytes > self.max_bytes and self._entries:
-            _, (_, _, sz) = self._entries.popitem(last=False)
-            self._total -= sz
-        self._entries[key] = (arr, meta, nbytes)
-        self._total += nbytes
+        with self._lock:
+            old = self._entries.pop(key, None)
+            if old is not None:
+                self._total -= old[2]
+            while self._total + nbytes > self.max_bytes and self._entries:
+                _, (_, _, sz) = self._entries.popitem(last=False)
+                self._total -= sz
+            self._entries[key] = (arr, meta, nbytes)
+            self._total += nbytes
         return arr
 
     def clear(self) -> None:
-        self._entries.clear()
-        self._total = 0
+        with self._lock:
+            self._entries.clear()
+            self._total = 0
 
     @property
     def nbytes(self) -> int:

@@ -473,3 +473,85 @@ def test_incremental_mapper_opencv_scene(tmp_path):
     # focal and k1 recovered reasonably
     assert abs(cam.params[0] - intr[0]) / intr[0] < 0.03
     assert abs(cam.params[4] - intr[4]) < 0.04
+
+
+def test_disconnected_scene_graph_keeps_largest_model(tmp_path):
+    """Two independent clusters in one database (no cross-cluster pairs):
+    the mapper maps each connected component and keeps the largest model,
+    like the reference's COLMAP multi-model selection
+    (``reconstruction.py:81-89``); the registration report names why the
+    small cluster's images are absent."""
+    from deep_image_matching_tpu.io.colmap_db import COLMAPDatabase
+    from deep_image_matching_tpu.sfm.incremental import (
+        IncrementalMapper, MapperOptions, load_database,
+        native_incremental_mapping, scene_components,
+    )
+
+    rng = np.random.default_rng(11)
+    db = COLMAPDatabase.connect(tmp_path / "database.db")
+    db.create_tables()
+    clusters = []
+    # cluster A: 5 cameras, cluster B: 3 cameras, disjoint 3D points
+    for n_cams, seed in ((5, 1), (3, 2)):
+        crng = np.random.default_rng(seed)
+        intr, X, poses = _make_scene(crng, n_cams=n_cams, n_pts=700, k1=0.0)
+        cam_id = db.add_camera(2, 640, 480, intr)
+        kpts, vis_ids, img_ids = [], [], []
+        for p in poses:
+            R = G.rotvec_to_matrix(p[:3])
+            uv, z = G.project_points(intr, R, p[3:], X)
+            vis = (
+                (z > 0)
+                & (uv[:, 0] >= 0) & (uv[:, 0] < 640)
+                & (uv[:, 1] >= 0) & (uv[:, 1] < 480)
+            )
+            ids = np.where(vis)[0]
+            ids = ids[crng.permutation(len(ids))]
+            kpts.append(uv[ids] + crng.normal(0, 0.3, (len(ids), 2)))
+            vis_ids.append(ids)
+        for i in range(n_cams):
+            iid = db.add_image(f"c{seed}_img{i}.jpg", cam_id)
+            db.add_keypoints(iid, kpts[i].astype(np.float32))
+            img_ids.append(iid)
+        for i in range(n_cams):
+            for j in range(i + 1, n_cams):
+                _, ia, ib = np.intersect1d(
+                    vis_ids[i], vis_ids[j], return_indices=True
+                )
+                m = np.stack([ia, ib], axis=1).astype(np.uint32)
+                db.add_matches(img_ids[i], img_ids[j], m)
+                db.add_two_view_geometry(img_ids[i], img_ids[j], m)
+        clusters.append(img_ids)
+    db.commit()
+    db.close()
+
+    data = load_database(tmp_path / "database.db")
+    comps = scene_components(data)
+    assert [len(c) for c in comps] == [5, 3]
+    assert comps[0] == set(clusters[0])
+
+    res = native_incremental_mapping(
+        tmp_path / "database.db", tmp_path, tmp_path
+    )
+    assert res is not None
+    _, images, points3D = res
+    names = {im.name for im in images.values()}
+    # the larger (5-image) cluster wins; nothing from the small one leaks in
+    assert names == {f"c1_img{i}.jpg" for i in range(5)}
+    assert len(points3D) > 300
+
+    # per-image failure reasons: map only cluster A's subgraph and ask why
+    # cluster B never registered
+    from deep_image_matching_tpu.sfm.incremental import _component_subset
+
+    sub = _component_subset(data, comps[0] | comps[1])
+    mapper = IncrementalMapper(sub, MapperOptions())
+    assert mapper.run()
+    report = mapper.registration_report()
+    # whichever cluster hosted the init pair, the OTHER one is fully
+    # unregistered and every absence has a named reason
+    a = {f"c1_img{i}.jpg" for i in range(5)}
+    b = {f"c2_img{i}.jpg" for i in range(3)}
+    assert set(report) in (a, b)
+    for reason in report.values():
+        assert "2D-3D" in reason or "tracks" in reason
