@@ -137,7 +137,11 @@ def main():
 
 
 def e2e():
-    """Full pair: coarse 560 symmetric + 864 upsample refinement."""
+    """Full pair: coarse 560 symmetric + 864 upsample refinement.
+
+    Optional argv[2] = batch size (pairs per program; scenario 5 dispatches
+    B=4 chunks via ``roma_batch_size``) — reports per-PAIR time either way.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -145,7 +149,8 @@ def e2e():
 
     print("device:", jax.devices()[0], file=sys.stderr)
     params = roma.init_params(jax.random.PRNGKey(0), dinov2_depth=24)
-    B, HC, HU = 1, 560, 864
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    HC, HU = 560, 864
     key = jax.random.PRNGKey(1)
     imc = jax.random.uniform(key, (B, HC, HC, 3), jnp.float32)
     imu = jax.random.uniform(key, (B, HU, HU, 3), jnp.float32)
@@ -160,24 +165,34 @@ def e2e():
 
     for corr_dt in (None, "bfloat16"):
         def run():
+            # mirrors DetectorFreeMatcher._dispatch_images_batch: coarse
+            # symmetric pass + 864 upsample + ON-DEVICE balanced sampling
             w_ab, c_ab, w_ba, c_ba = roma.match_pair_impl(
                 params, imc, imc, corr_dtype=corr_dt
             )
-            return roma.match_pair_upsample(
+            w_ab, c_ab, w_ba, c_ba = roma.match_pair_upsample(
                 params, imu, imu, w_ab, c_ab, w_ba, c_ba,
                 scale_factor=HU / HC, corr_dtype=corr_dt,
             )
+            ms = [
+                roma.sample_matches_device(
+                    w_ab[i], c_ab[i], w_ba[i], c_ba[i],
+                    jax.random.PRNGKey(i), num=5000, sample_thresh=0.05,
+                )[0]
+                for i in range(B)
+            ]
+            return (w_ab, ms)
         out = run()
-        float(jnp.sum(out[0]))
+        float(jnp.sum(out[1][-1]))
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             for _ in range(6):
                 out = run()
-            float(jnp.sum(out[0][..., 0]))
-            best = min(best, (time.time() - t0 - rtt) / 6)
-        print(f"e2e pair 560+864 corr_dtype={corr_dt}: {best*1e3:7.1f} ms "
-              f"-> {1/best:5.2f} pairs/s")
+            float(jnp.sum(out[1][-1]))
+            best = min(best, (time.time() - t0 - rtt) / (6 * B))
+        print(f"e2e pair 560+864 B={B} corr_dtype={corr_dt}: "
+              f"{best*1e3:7.1f} ms/pair -> {1/best:5.2f} pairs/s")
 
 
 if __name__ == "__main__":

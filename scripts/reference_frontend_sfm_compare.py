@@ -142,12 +142,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", nargs="+",
                     default=["nadar", "temple_baal", "thermal"])
+    ap.add_argument("--dir", default=None,
+                    help="compare on a custom scene: a directory containing "
+                         "an images/ subfolder (e.g. the 60-image scale "
+                         "scene) instead of the bundled example scenes")
     ap.add_argument("--max-kpts", type=int, default=4096)
     args = ap.parse_args()
 
+    scenes = args.scenes
+    if args.dir:
+        scenes = [f"dir:{args.dir}"]
+
     rows = []
-    for scene in args.scenes:
-        src = ASSETS / f"example_{scene}" / "images"
+    for scene in scenes:
+        if scene.startswith("dir:"):
+            src = Path(scene[4:]) / "images"
+            scene = Path(scene[4:]).name
+        else:
+            src = ASSETS / f"example_{scene}" / "images"
+            scene = f"example_{scene}"
         if not src.is_dir():
             log(f"skipping {scene}: {src} missing")
             continue
@@ -180,10 +193,10 @@ def main():
           " points |")
     print("|---|---|---|---|---|---|")
     for scene, n_imgs, t, j in rows:
-        print(f"| example_{scene} | {n_imgs} | torch reference "
+        print(f"| {scene} | {n_imgs} | torch reference "
               f"(ALIKED-n16rot) | {t['verified']}/{t['pairs']} | "
               f"{t['registered']}/{n_imgs} | {t['points']} |")
-        print(f"| example_{scene} | {n_imgs} | JAX port (this repo) | "
+        print(f"| {scene} | {n_imgs} | JAX port (this repo) | "
               f"{j['verified']}/{j['pairs']} | {j['registered']}/{n_imgs} | "
               f"{j['points']} |")
 

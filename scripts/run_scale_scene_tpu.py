@@ -39,6 +39,14 @@ def main():
     ap.add_argument("--pipeline", choices=["aliked", "superpoint"],
                     default="aliked")
     ap.add_argument("--max-side", type=int, default=1024)
+    ap.add_argument("--strategy", default="matching_lowres",
+                    help="pair-selection strategy (matching_lowres, "
+                         "retrieval, bruteforce, sequential, ...)")
+    ap.add_argument("--retrieval", default="tiny",
+                    help="global descriptor for --strategy retrieval")
+    ap.add_argument("--pairs-only", action="store_true",
+                    help="time pair generation only (for strategy "
+                         "comparisons), skip extract/match/reconstruction")
     args = ap.parse_args()
 
     os.environ.setdefault("DIM_TPU_ALLOW_RANDOM_WEIGHTS", "1")
@@ -70,23 +78,31 @@ def main():
     else:
         overrides = {}
         preset = "superpoint+lightglue"
-    cfg = Config(
-        args={
-            "dir": str(proj),
-            "pipeline": preset,
-            "strategy": "matching_lowres",
-            "skip_reconstruction": True,
-            "force": True,
-        },
-        **overrides,
-    )
+    cfg_args = {
+        "dir": str(proj),
+        "pipeline": preset,
+        "strategy": args.strategy,
+        "skip_reconstruction": True,
+        "force": True,
+    }
+    if args.strategy == "retrieval":
+        cfg_args["global_feature"] = args.retrieval
+    cfg = Config(args=cfg_args, **overrides)
     im = ImageMatcher(cfg)
 
     t = {}
     t0 = time.perf_counter()
     pairs = im.generate_pairs()
-    t["probe (matching_lowres pair generation)"] = time.perf_counter() - t0
+    t[f"pair generation ({args.strategy})"] = time.perf_counter() - t0
     log(f"pairs: {len(pairs)}")
+    if args.pairs_only:
+        dt = t[f"pair generation ({args.strategy})"]
+        print(f"\nScale scene pair selection: {n} images, strategy "
+              f"{args.strategy}"
+              + (f" ({args.retrieval})" if args.strategy == "retrieval"
+                 else "")
+              + f", {len(pairs)} pairs in {dt:.1f} s")
+        return
     t0 = time.perf_counter()
     fpath = im.extract_features()
     t["extract (batched, device)"] = time.perf_counter() - t0

@@ -132,6 +132,58 @@ def undistort_normalized(intr: np.ndarray, uv: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# fisheye (equidistant) distortion — COLMAP *_FISHEYE family
+# ---------------------------------------------------------------------------
+# COLMAP models OPENCV_FISHEYE (5), SIMPLE_RADIAL_FISHEYE (8),
+# RADIAL_FISHEYE (9) share the equidistant projection: with r = |xy| and
+# theta = atan(r), the distorted radius is
+# theta_d = theta (1 + k1 th^2 + k2 th^4 + k3 th^6 + k4 th^8) and the
+# distorted point is xy * theta_d / r. The native mapper rectifies fisheye
+# keypoints to an ideal pinhole frame at load time (``load_database``), so
+# only these two conversions are needed — the incremental pipeline itself
+# stays on the OPENCV/pinhole intr8 model.
+
+
+def fisheye_distort_normalized(k: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    """Ideal-pinhole normalized coords -> equidistant-distorted normalized
+    coords. ``k``: (4,) [k1, k2, k3, k4]; xy: (..., 2)."""
+    k = np.asarray(k, np.float64).ravel()
+    xy = np.asarray(xy, np.float64)
+    r = np.sqrt(np.sum(xy * xy, axis=-1, keepdims=True))
+    theta = np.arctan(r)
+    t2 = theta * theta
+    theta_d = theta * (
+        1.0 + t2 * (k[0] + t2 * (k[1] + t2 * (k[2] + t2 * k[3])))
+    )
+    # theta_d / r -> 1 as r -> 0 (theta ~ r)
+    scale = np.where(r < 1e-12, 1.0, theta_d / np.where(r < 1e-12, 1.0, r))
+    return xy * scale
+
+
+def fisheye_undistort_normalized(k: np.ndarray, xyd: np.ndarray) -> np.ndarray:
+    """Equidistant-distorted normalized coords -> ideal-pinhole normalized
+    coords (Newton on theta; with all k zero this reduces to the exact
+    r = tan(theta_d) — equidistant zero-k is still not pinhole)."""
+    k = np.asarray(k, np.float64).ravel()
+    xyd = np.asarray(xyd, np.float64)
+    rd = np.sqrt(np.sum(xyd * xyd, axis=-1, keepdims=True))
+    theta = rd.copy()  # rd IS theta_d; theta_d ~ theta for small distortion
+    for _ in range(10):
+        t2 = theta * theta
+        poly = 1.0 + t2 * (k[0] + t2 * (k[1] + t2 * (k[2] + t2 * k[3])))
+        dpoly = (
+            2.0 * k[0]
+            + t2 * (4.0 * k[1] + t2 * (6.0 * k[2] + t2 * 8.0 * k[3]))
+        )
+        f = theta * poly - rd
+        df = poly + t2 * dpoly
+        theta = theta - f / np.where(np.abs(df) < 1e-12, 1e-12, df)
+    r = np.tan(theta)
+    scale = np.where(rd < 1e-12, 1.0, r / np.where(rd < 1e-12, 1.0, rd))
+    return xyd * scale
+
+
+# ---------------------------------------------------------------------------
 # triangulation (batched DLT, float64)
 # ---------------------------------------------------------------------------
 

@@ -11,8 +11,13 @@ COLMAP text model + ``model.ply`` under ``reconstruction/``.
 Scope: this mapper targets the framework's example-scale scenes (tens to
 hundreds of images) with SIMPLE_PINHOLE / PINHOLE / SIMPLE_RADIAL / RADIAL /
 OPENCV cameras (full radial+tangential distortion in projection,
-undistortion, and bundle adjustment); pycolmap remains the preferred
-backend for full COLMAP fidelity when installed.
+undistortion, and bundle adjustment) plus the equidistant fisheye family
+OPENCV_FISHEYE / SIMPLE_RADIAL_FISHEYE / RADIAL_FISHEYE (keypoints
+rectified to an ideal pinhole frame at load; BA refines f/c while the
+fisheye coefficients stay at their calibrated values). A disconnected
+scene graph is mapped per connected component and the largest model kept
+(reference via COLMAP: ``reconstruction.py:81-89``). pycolmap remains the
+preferred backend for full COLMAP fidelity when installed.
 """
 
 from __future__ import annotations
@@ -51,6 +56,9 @@ class SfMData:
     keypoints: Dict[int, np.ndarray]          # image_id -> (N,2) pixels
     cameras: Dict[int, dict]                   # camera_id -> {intr, width, height, model}
     pair_matches: Dict[Tuple[int, int], np.ndarray]  # (id0,id1) -> (M,2) kpt idx
+    # fisheye cameras are rectified to an ideal pinhole frame at load time;
+    # the observed (distorted) pixels are kept here for model export
+    keypoints_raw: Dict[int, np.ndarray] = field(default_factory=dict)
 
 
 def load_database(database_path: Path) -> SfMData:
@@ -70,6 +78,7 @@ def load_database(database_path: Path) -> SfMData:
     ):
         p = blob_to_array(params, np.float64)
         z = 0.0
+        fk = None  # equidistant-fisheye coefficients, when applicable
         if model == 0:  # SIMPLE_PINHOLE f cx cy
             intr = np.array([p[0], p[0], p[1], p[2], z, z, z, z])
         elif model == 1:  # PINHOLE fx fy cx cy
@@ -80,6 +89,21 @@ def load_database(database_path: Path) -> SfMData:
             intr = np.array([p[0], p[0], p[1], p[2], p[3], p[4], z, z])
         elif model == 4:  # OPENCV fx fy cx cy k1 k2 p1 p2
             intr = np.array([p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7]])
+        elif model in (5, 8, 9):  # *_FISHEYE (equidistant) family
+            # carried as the ideal-pinhole equivalent; keypoints are
+            # rectified below and the original distortion is kept for export
+            if model == 5:   # OPENCV_FISHEYE fx fy cx cy k1 k2 k3 k4
+                fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+                fk = np.array([p[4], p[5], p[6], p[7]], np.float64)
+            elif model == 8:  # SIMPLE_RADIAL_FISHEYE f cx cy k
+                fx = fy = p[0]
+                cx, cy = p[1], p[2]
+                fk = np.array([p[3], 0.0, 0.0, 0.0])
+            else:             # RADIAL_FISHEYE f cx cy k1 k2
+                fx = fy = p[0]
+                cx, cy = p[1], p[2]
+                fk = np.array([p[3], p[4], 0.0, 0.0])
+            intr = np.array([fx, fy, cx, cy, z, z, z, z])
         else:
             logger.warning(
                 f"Camera model id {model} unsupported by the native mapper; "
@@ -92,6 +116,8 @@ def load_database(database_path: Path) -> SfMData:
         cameras[cam_id] = {
             "intr": intr, "width": width, "height": height, "model": model,
         }
+        if fk is not None:
+            cameras[cam_id]["fisheye_k"] = fk
     image_names, image_cam = {}, {}
     for image_id, name, cam_id in cur.execute(
         "SELECT image_id, name, camera_id FROM images"
@@ -115,7 +141,33 @@ def load_database(database_path: Path) -> SfMData:
         id0, id1 = pair_id_to_image_ids(pair_id)
         pair_matches[(id0, id1)] = m
     con.close()
-    return SfMData(image_names, image_cam, keypoints, cameras, pair_matches)
+    # fisheye rectification: map observed pixels to the ideal-pinhole frame
+    # once, so the whole incremental pipeline (PnP, triangulation, device
+    # BA) runs distortion-free. The equidistant coefficients stay fixed
+    # (prior calibration) — BA refines f/c on the pinhole equivalent; the
+    # reference refines fisheye distortion only via pycolmap/COLMAP.
+    keypoints_raw: Dict[int, np.ndarray] = {}
+    fisheye_cams = {c for c, cam in cameras.items() if "fisheye_k" in cam}
+    if fisheye_cams:
+        logger.info(
+            f"Rectifying keypoints of {len(fisheye_cams)} fisheye "
+            "camera(s) to the ideal-pinhole frame (equidistant model; "
+            "distortion held fixed during refinement)"
+        )
+        for image_id, kp in keypoints.items():
+            cid = image_cam.get(image_id)
+            if cid not in fisheye_cams or not len(kp):
+                continue
+            cam = cameras[cid]
+            intr = cam["intr"]
+            keypoints_raw[image_id] = kp.copy()
+            xyd = (kp - intr[2:4]) / intr[0:2]
+            xy = geom.fisheye_undistort_normalized(cam["fisheye_k"], xyd)
+            keypoints[image_id] = xy * intr[0:2] + intr[2:4]
+    return SfMData(
+        image_names, image_cam, keypoints, cameras, pair_matches,
+        keypoints_raw,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -553,7 +605,10 @@ class IncrementalMapper:
         if opt.refine_distortion:
             # free only the distortion terms the camera's SOURCE model has
             # (COLMAP refines per-model): SIMPLE_RADIAL -> k1, RADIAL ->
-            # k1 k2, OPENCV -> k1 k2 p1 p2; pinhole models stay undistorted
+            # k1 k2, OPENCV -> k1 k2 p1 p2; pinhole models stay undistorted.
+            # Fisheye models (5/8/9) are deliberately absent: their
+            # keypoints were rectified to an ideal pinhole frame at load,
+            # so the internal model must stay zero-distortion
             for i, c in enumerate(cam_ids):
                 model = self.data.cameras[c]["model"]
                 if model == 2:
@@ -775,6 +830,16 @@ class IncrementalMapper:
                 name, params = "RADIAL", [fx, cx, cy, k1, k2]
             elif model == 4:
                 name, params = "OPENCV", [fx, fy, cx, cy, k1, k2, p1, p2]
+            elif model in (5, 8, 9):
+                # refined pinhole part + the fixed equidistant coefficients
+                fk = cam.get("fisheye_k", np.zeros(4))
+                if model == 5:
+                    name = "OPENCV_FISHEYE"
+                    params = [fx, fy, cx, cy, fk[0], fk[1], fk[2], fk[3]]
+                elif model == 8:
+                    name, params = "SIMPLE_RADIAL_FISHEYE", [fx, cx, cy, fk[0]]
+                else:
+                    name, params = "RADIAL_FISHEYE", [fx, cx, cy, fk[0], fk[1]]
             else:
                 name, params = "SIMPLE_RADIAL", [fx, cx, cy, k1]
             cameras[cid] = Camera(
@@ -805,7 +870,14 @@ class IncrementalMapper:
                 )
                 image_ids.append(im)
                 p2d_idxs.append(len(img_xys[im]))
-                img_xys[im].append(self.data.keypoints[im][k])
+                # export the OBSERVED pixels (fisheye images store the
+                # distorted originals in keypoints_raw; reprojection errors
+                # above are computed in the rectified pinhole frame)
+                img_xys[im].append(
+                    self.data.keypoints_raw.get(
+                        im, self.data.keypoints[im]
+                    )[k]
+                )
                 img_pids[im].append(tid + 1)
             pt_entries[tid] = (image_ids, p2d_idxs)
             errors[tid] = float(np.mean(errs)) if errs else 0.0
@@ -989,6 +1061,9 @@ def _component_subset(data: SfMData, comp: set) -> SfMData:
         pair_matches={
             p: m for p, m in data.pair_matches.items()
             if p[0] in comp and p[1] in comp
+        },
+        keypoints_raw={
+            i: k for i, k in data.keypoints_raw.items() if i in comp
         },
     )
 

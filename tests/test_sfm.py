@@ -555,3 +555,110 @@ def test_disconnected_scene_graph_keeps_largest_model(tmp_path):
     assert set(report) in (a, b)
     for reason in report.values():
         assert "2D-3D" in reason or "tracks" in reason
+
+
+def test_fisheye_distort_roundtrip_and_zero_k():
+    rng = np.random.default_rng(3)
+    k = np.array([-0.03, 0.01, -0.002, 0.0004])
+    xy = rng.uniform(-0.9, 0.9, (500, 2))
+    xyd = G.fisheye_distort_normalized(k, xy)
+    assert np.abs(G.fisheye_undistort_normalized(k, xyd) - xy).max() < 1e-10
+    # zero-k equidistant is r -> atan(r), NOT identity; inverse still exact
+    z = G.fisheye_distort_normalized(np.zeros(4), xy)
+    assert np.abs(G.fisheye_undistort_normalized(np.zeros(4), z) - xy).max() < 1e-10
+
+
+def test_incremental_mapper_fisheye_scene(tmp_path):
+    """Full mapper on a synthetic OPENCV_FISHEYE scene: keypoints are
+    rectified to the pinhole frame at load, mapping registers every image,
+    and the exported camera keeps the OPENCV_FISHEYE model with its
+    equidistant coefficients (reference covers fisheye via pycolmap,
+    ``reconstruction.py:28``)."""
+    from deep_image_matching_tpu.io.colmap_db import COLMAPDatabase
+    from deep_image_matching_tpu.sfm.incremental import (
+        native_incremental_mapping,
+    )
+
+    rng = np.random.default_rng(7)
+    f, cx, cy = 520.0, 320.0, 240.0
+    fk = np.array([-0.03, 0.01, -0.002, 0.0004])
+    X = rng.uniform([-3, -3, 6], [3, 3, 12], (900, 3))
+    poses = []
+    for i in range(6):
+        rv = rng.normal(0, 0.08, 3)
+        R = G.rotvec_to_matrix(rv)
+        c = np.array([i * 0.8 - 2, rng.normal(0, 0.2), rng.normal(0, 0.2)])
+        poses.append(np.concatenate([rv, -R @ c]))
+    poses = np.array(poses)
+
+    kpts, vis_ids = [], []
+    for p in poses:
+        R = G.rotvec_to_matrix(p[:3])
+        Xc = X @ R.T + p[3:]
+        z = Xc[:, 2]
+        xy = Xc[:, :2] / np.where(np.abs(z) < 1e-12, 1e-12, z)[:, None]
+        xyd = G.fisheye_distort_normalized(fk, xy)
+        uv = xyd * [f, f] + [cx, cy]
+        vis = (
+            (z > 0)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < 640)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < 480)
+        )
+        ids = np.where(vis)[0]
+        ids = ids[rng.permutation(len(ids))]
+        kpts.append(uv[ids] + rng.normal(0, 0.3, (len(ids), 2)))
+        vis_ids.append(ids)
+
+    db = COLMAPDatabase.connect(tmp_path / "database.db")
+    db.create_tables()
+    cam_id = db.add_camera(5, 640, 480, [f, f, cx, cy, *fk])  # OPENCV_FISHEYE
+    img_ids = []
+    for i in range(len(poses)):
+        iid = db.add_image(f"img{i}.jpg", cam_id)
+        db.add_keypoints(iid, kpts[i].astype(np.float32))
+        img_ids.append(iid)
+    for i in range(len(poses)):
+        for j in range(i + 1, len(poses)):
+            _, ia, ib = np.intersect1d(
+                vis_ids[i], vis_ids[j], return_indices=True
+            )
+            m = np.stack([ia, ib], axis=1).astype(np.uint32)
+            db.add_matches(img_ids[i], img_ids[j], m)
+            db.add_two_view_geometry(img_ids[i], img_ids[j], m)
+    db.commit()
+    db.close()
+
+    res = native_incremental_mapping(
+        tmp_path / "database.db", tmp_path, tmp_path
+    )
+    assert res is not None
+    cameras, images, points3D = res
+    assert len(images) == len(poses)
+    assert len(points3D) > 400
+    cam = cameras[cam_id]
+    assert cam.model == "OPENCV_FISHEYE"
+    assert len(cam.params) == 8
+    # focal recovered on the pinhole equivalent; equidistant coefficients
+    # pass through unchanged
+    assert abs(cam.params[0] - f) / f < 0.03
+    assert np.allclose(cam.params[4:], fk)
+    # exported 2D observations are the OBSERVED (distorted) pixels
+    from deep_image_matching_tpu.io.colmap_read_write_model import qvec2rotmat
+
+    name_to_id = {f"img{i}.jpg": img_ids[i] for i in range(len(poses))}
+    for im in images.values():
+        src = kpts[img_ids.index(name_to_id[im.name])]
+        if len(im.xys):
+            d = np.abs(src[None, :, :] - im.xys[:, None, :]).sum(-1).min(1)
+            assert d.max() < 1e-3
+    # pairwise relative rotations close to ground truth
+    Rrec = {im.name: qvec2rotmat(im.qvec) for im in images.values()}
+    for i in range(len(poses)):
+        for j in range(i + 1, len(poses)):
+            Rg = (
+                G.rotvec_to_matrix(poses[j, :3])
+                @ G.rotvec_to_matrix(poses[i, :3]).T
+            )
+            Rr = Rrec[f"img{j}.jpg"] @ Rrec[f"img{i}.jpg"].T
+            err = np.degrees(np.linalg.norm(G.matrix_to_rotvec(Rr @ Rg.T)))
+            assert err < 1.0, (i, j, err)
