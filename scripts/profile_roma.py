@@ -149,11 +149,11 @@ def e2e():
 
     print("device:", jax.devices()[0], file=sys.stderr)
     params = roma.init_params(jax.random.PRNGKey(0), dinov2_depth=24)
-    B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    batches = (
+        [int(sys.argv[2])] if len(sys.argv) > 2 else [1, 4]
+    )
     HC, HU = 560, 864
     key = jax.random.PRNGKey(1)
-    imc = jax.random.uniform(key, (B, HC, HC, 3), jnp.float32)
-    imu = jax.random.uniform(key, (B, HU, HU, 3), jnp.float32)
 
     z = jnp.zeros(())
     for _ in range(3):
@@ -163,36 +163,39 @@ def e2e():
         float(z + 1)
     rtt = (time.time() - t0) / 5
 
-    for corr_dt in (None, "bfloat16"):
-        def run():
-            # mirrors DetectorFreeMatcher._dispatch_images_batch: coarse
-            # symmetric pass + 864 upsample + ON-DEVICE balanced sampling
-            w_ab, c_ab, w_ba, c_ba = roma.match_pair_impl(
-                params, imc, imc, corr_dtype=corr_dt
-            )
-            w_ab, c_ab, w_ba, c_ba = roma.match_pair_upsample(
-                params, imu, imu, w_ab, c_ab, w_ba, c_ba,
-                scale_factor=HU / HC, corr_dtype=corr_dt,
-            )
-            ms = [
-                roma.sample_matches_device(
-                    w_ab[i], c_ab[i], w_ba[i], c_ba[i],
-                    jax.random.PRNGKey(i), num=5000, sample_thresh=0.05,
-                )[0]
-                for i in range(B)
-            ]
-            return (w_ab, ms)
-        out = run()
-        float(jnp.sum(out[1][-1]))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            for _ in range(6):
-                out = run()
+    for B in batches:
+        imc = jax.random.uniform(key, (B, HC, HC, 3), jnp.float32)
+        imu = jax.random.uniform(key, (B, HU, HU, 3), jnp.float32)
+        for corr_dt in (None, "bfloat16"):
+            def run():
+                # mirrors DetectorFreeMatcher._dispatch_images_batch: coarse
+                # symmetric pass + 864 upsample + ON-DEVICE balanced sampling
+                w_ab, c_ab, w_ba, c_ba = roma.match_pair_impl(
+                    params, imc, imc, corr_dtype=corr_dt
+                )
+                w_ab, c_ab, w_ba, c_ba = roma.match_pair_upsample(
+                    params, imu, imu, w_ab, c_ab, w_ba, c_ba,
+                    scale_factor=HU / HC, corr_dtype=corr_dt,
+                )
+                ms = [
+                    roma.sample_matches_device(
+                        w_ab[i], c_ab[i], w_ba[i], c_ba[i],
+                        jax.random.PRNGKey(i), num=5000, sample_thresh=0.05,
+                    )[0]
+                    for i in range(B)
+                ]
+                return (w_ab, ms)
+            out = run()
             float(jnp.sum(out[1][-1]))
-            best = min(best, (time.time() - t0 - rtt) / (6 * B))
-        print(f"e2e pair 560+864 B={B} corr_dtype={corr_dt}: "
-              f"{best*1e3:7.1f} ms/pair -> {1/best:5.2f} pairs/s")
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                for _ in range(6):
+                    out = run()
+                float(jnp.sum(out[1][-1]))
+                best = min(best, (time.time() - t0 - rtt) / (6 * B))
+            print(f"e2e pair 560+864 B={B} corr_dtype={corr_dt}: "
+                  f"{best*1e3:7.1f} ms/pair -> {1/best:5.2f} pairs/s")
 
 
 if __name__ == "__main__":
