@@ -132,6 +132,50 @@ def undistort_normalized(intr: np.ndarray, uv: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# FULL_OPENCV (rational-polynomial) distortion — COLMAP model 6
+# ---------------------------------------------------------------------------
+# params p12 = (fx, fy, cx, cy, k1, k2, p1, p2, k3, k4, k5, k6); radial
+# factor is (1 + k1 r^2 + k2 r^4 + k3 r^6) / (1 + k4 r^2 + k5 r^4 + k6 r^6)
+# plus the standard tangential terms. The native mapper rectifies the
+# rational tail away at load (``load_database``), leaving a plain OPENCV
+# camera (k1 k2 p1 p2 live and refinable).
+
+
+def full_opencv_distort_normalized(p12: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    """Ideal normalized coords -> FULL_OPENCV-distorted normalized coords."""
+    p12 = np.asarray(p12, np.float64).ravel()
+    k1, k2, p1, p2, k3, k4, k5, k6 = p12[4:12]
+    x, y = xy[..., 0:1], xy[..., 1:2]
+    r2 = x * x + y * y
+    radial = (1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))) / (
+        1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
+    )
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return np.concatenate([xd, yd], axis=-1)
+
+
+def full_opencv_undistort_normalized(p12: np.ndarray, xyd: np.ndarray) -> np.ndarray:
+    """Inverse of ``full_opencv_distort_normalized`` by fixed-point
+    iteration (the cv2.undistortPoints scheme, converges for photographic
+    distortion magnitudes)."""
+    p12 = np.asarray(p12, np.float64).ravel()
+    k1, k2, p1, p2, k3, k4, k5, k6 = p12[4:12]
+    xyd = np.asarray(xyd, np.float64)
+    xy = xyd.copy()
+    for _ in range(12):
+        x, y = xy[..., 0:1], xy[..., 1:2]
+        r2 = x * x + y * y
+        radial = (1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))) / (
+            1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
+        )
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        xy = (xyd - np.concatenate([dx, dy], axis=-1)) / radial
+    return xy
+
+
+# ---------------------------------------------------------------------------
 # fisheye (equidistant) distortion — COLMAP *_FISHEYE family
 # ---------------------------------------------------------------------------
 # COLMAP models OPENCV_FISHEYE (5), SIMPLE_RADIAL_FISHEYE (8),

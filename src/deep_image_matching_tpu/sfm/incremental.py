@@ -11,7 +11,9 @@ COLMAP text model + ``model.ply`` under ``reconstruction/``.
 Scope: this mapper targets the framework's example-scale scenes (tens to
 hundreds of images) with SIMPLE_PINHOLE / PINHOLE / SIMPLE_RADIAL / RADIAL /
 OPENCV cameras (full radial+tangential distortion in projection,
-undistortion, and bundle adjustment) plus the equidistant fisheye family
+undistortion, and bundle adjustment), FULL_OPENCV (rational tail k3..k6
+rectified to plain OPENCV at load, fixed thereafter), plus the equidistant
+fisheye family
 OPENCV_FISHEYE / SIMPLE_RADIAL_FISHEYE / RADIAL_FISHEYE (keypoints
 rectified to an ideal pinhole frame at load; BA refines f/c while the
 fisheye coefficients stay at their calibrated values). A disconnected
@@ -72,6 +74,7 @@ def load_database(database_path: Path) -> SfMData:
     con = sqlite3.connect(str(database_path))
     cur = con.cursor()
     cameras: Dict[int, dict] = {}
+    full_rational: Dict[int, np.ndarray] = {}  # FULL_OPENCV k3..k6 to rectify
     for cam_id, model, width, height, params, _prior in cur.execute(
         "SELECT camera_id, model, width, height, params, prior_focal_length "
         "FROM cameras"
@@ -89,6 +92,13 @@ def load_database(database_path: Path) -> SfMData:
             intr = np.array([p[0], p[0], p[1], p[2], p[3], p[4], z, z])
         elif model == 4:  # OPENCV fx fy cx cy k1 k2 p1 p2
             intr = np.array([p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7]])
+        elif model == 6:  # FULL_OPENCV fx fy cx cy k1 k2 p1 p2 k3 k4 k5 k6
+            # rational-polynomial tail (k3..k6) has no slot in intr8:
+            # rectify keypoints to plain OPENCV at load (the k3..k6 terms
+            # are removed exactly; k1 k2 p1 p2 stay live and refinable)
+            intr = np.array([p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7]])
+            if np.any(p[8:12] != 0.0):
+                full_rational[cam_id] = p[:12].copy()
         elif model in (5, 8, 9):  # *_FISHEYE (equidistant) family
             # carried as the ideal-pinhole equivalent; keypoints are
             # rectified below and the original distortion is kept for export
@@ -118,6 +128,8 @@ def load_database(database_path: Path) -> SfMData:
         }
         if fk is not None:
             cameras[cam_id]["fisheye_k"] = fk
+        if cam_id in full_rational:
+            cameras[cam_id]["full_rational"] = full_rational[cam_id]
     image_names, image_cam = {}, {}
     for image_id, name, cam_id in cur.execute(
         "SELECT image_id, name, camera_id FROM images"
@@ -148,22 +160,32 @@ def load_database(database_path: Path) -> SfMData:
     # reference refines fisheye distortion only via pycolmap/COLMAP.
     keypoints_raw: Dict[int, np.ndarray] = {}
     fisheye_cams = {c for c, cam in cameras.items() if "fisheye_k" in cam}
-    if fisheye_cams:
+    rational_cams = set(full_rational)
+    if fisheye_cams or rational_cams:
         logger.info(
-            f"Rectifying keypoints of {len(fisheye_cams)} fisheye "
-            "camera(s) to the ideal-pinhole frame (equidistant model; "
-            "distortion held fixed during refinement)"
+            f"Rectifying keypoints of {len(fisheye_cams)} fisheye and "
+            f"{len(rational_cams)} FULL_OPENCV camera(s) at load "
+            "(equidistant -> ideal pinhole; rational tail -> plain OPENCV; "
+            "rectified terms held fixed during refinement)"
         )
         for image_id, kp in keypoints.items():
             cid = image_cam.get(image_id)
-            if cid not in fisheye_cams or not len(kp):
+            if cid not in fisheye_cams | rational_cams or not len(kp):
                 continue
             cam = cameras[cid]
             intr = cam["intr"]
             keypoints_raw[image_id] = kp.copy()
             xyd = (kp - intr[2:4]) / intr[0:2]
-            xy = geom.fisheye_undistort_normalized(cam["fisheye_k"], xyd)
-            keypoints[image_id] = xy * intr[0:2] + intr[2:4]
+            if cid in fisheye_cams:
+                xy = geom.fisheye_undistort_normalized(cam["fisheye_k"], xyd)
+                keypoints[image_id] = xy * intr[0:2] + intr[2:4]
+            else:
+                # FULL_OPENCV: invert the full rational model, re-apply the
+                # truncated OPENCV part — k1 k2 p1 p2 remain live in intr8
+                xy = geom.full_opencv_undistort_normalized(
+                    full_rational[cid], xyd
+                )
+                keypoints[image_id] = geom.normalized_to_pixels(intr, xy)
     return SfMData(
         image_names, image_cam, keypoints, cameras, pair_matches,
         keypoints_raw,
@@ -615,7 +637,9 @@ class IncrementalMapper:
                     intr_free[i, 4] = 1.0
                 elif model == 3:
                     intr_free[i, 4:6] = 1.0
-                elif model == 4:
+                elif model in (4, 6):
+                    # 6 (FULL_OPENCV): k1 k2 p1 p2 live; the rational tail
+                    # was rectified away at load and stays fixed
                     intr_free[i, 4:8] = 1.0
         out = bundle_adjust(
             poses, intr, pts, obs_pose, obs_cam, obs_pt, obs_uv,
@@ -830,6 +854,13 @@ class IncrementalMapper:
                 name, params = "RADIAL", [fx, cx, cy, k1, k2]
             elif model == 4:
                 name, params = "OPENCV", [fx, fy, cx, cy, k1, k2, p1, p2]
+            elif model == 6:
+                # refined OPENCV part + the fixed (rectified-away) rational
+                # tail; zeros if the source had none
+                kr = cam.get("full_rational", np.zeros(12))[8:12]
+                name = "FULL_OPENCV"
+                params = [fx, fy, cx, cy, k1, k2, p1, p2,
+                          kr[0], kr[1], kr[2], kr[3]]
             elif model in (5, 8, 9):
                 # refined pinhole part + the fixed equidistant coefficients
                 fk = cam.get("fisheye_k", np.zeros(4))

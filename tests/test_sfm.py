@@ -662,3 +662,98 @@ def test_incremental_mapper_fisheye_scene(tmp_path):
             Rr = Rrec[f"img{j}.jpg"] @ Rrec[f"img{i}.jpg"].T
             err = np.degrees(np.linalg.norm(G.matrix_to_rotvec(Rr @ Rg.T)))
             assert err < 1.0, (i, j, err)
+
+
+def test_full_opencv_distort_roundtrip():
+    rng = np.random.default_rng(9)
+    p12 = np.array([500.0, 500.0, 320.0, 240.0,
+                    -0.05, 0.01, 0.001, -0.0005, 0.002, -0.03, 0.005, 0.001])
+    xy = rng.uniform(-0.6, 0.6, (500, 2))
+    xyd = G.full_opencv_distort_normalized(p12, xy)
+    assert np.abs(
+        G.full_opencv_undistort_normalized(p12, xyd) - xy
+    ).max() < 1e-9
+
+
+def test_incremental_mapper_full_opencv_scene(tmp_path):
+    """FULL_OPENCV camera: the rational tail (k3..k6) is rectified to plain
+    OPENCV at load; mapping registers every image and the export keeps the
+    FULL_OPENCV model with refined f/c/k1/k2/p1/p2 and the original tail."""
+    from deep_image_matching_tpu.io.colmap_db import COLMAPDatabase
+    from deep_image_matching_tpu.sfm.incremental import (
+        native_incremental_mapping,
+    )
+
+    rng = np.random.default_rng(12)
+    p12 = np.array([520.0, 520.0, 320.0, 240.0,
+                    -0.04, 0.008, 0.0008, -0.0004, 0.001, -0.02, 0.004, 0.0008])
+    X = rng.uniform([-3, -3, 6], [3, 3, 12], (900, 3))
+    poses = []
+    for i in range(6):
+        rv = rng.normal(0, 0.08, 3)
+        R = G.rotvec_to_matrix(rv)
+        c = np.array([i * 0.8 - 2, rng.normal(0, 0.2), rng.normal(0, 0.2)])
+        poses.append(np.concatenate([rv, -R @ c]))
+    poses = np.array(poses)
+
+    kpts, vis_ids = [], []
+    for p in poses:
+        R = G.rotvec_to_matrix(p[:3])
+        Xc = X @ R.T + p[3:]
+        z = Xc[:, 2]
+        xy = Xc[:, :2] / np.where(np.abs(z) < 1e-12, 1e-12, z)[:, None]
+        xyd = G.full_opencv_distort_normalized(p12, xy)
+        uv = xyd * p12[0:2] + p12[2:4]
+        vis = (
+            (z > 0)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < 640)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < 480)
+        )
+        ids = np.where(vis)[0]
+        ids = ids[rng.permutation(len(ids))]
+        kpts.append(uv[ids] + rng.normal(0, 0.3, (len(ids), 2)))
+        vis_ids.append(ids)
+
+    db = COLMAPDatabase.connect(tmp_path / "database.db")
+    db.create_tables()
+    cam_id = db.add_camera(6, 640, 480, p12)  # FULL_OPENCV
+    img_ids = []
+    for i in range(len(poses)):
+        iid = db.add_image(f"img{i}.jpg", cam_id)
+        db.add_keypoints(iid, kpts[i].astype(np.float32))
+        img_ids.append(iid)
+    for i in range(len(poses)):
+        for j in range(i + 1, len(poses)):
+            _, ia, ib = np.intersect1d(
+                vis_ids[i], vis_ids[j], return_indices=True
+            )
+            m = np.stack([ia, ib], axis=1).astype(np.uint32)
+            db.add_matches(img_ids[i], img_ids[j], m)
+            db.add_two_view_geometry(img_ids[i], img_ids[j], m)
+    db.commit()
+    db.close()
+
+    res = native_incremental_mapping(
+        tmp_path / "database.db", tmp_path, tmp_path
+    )
+    assert res is not None
+    cameras, images, points3D = res
+    assert len(images) == len(poses)
+    assert len(points3D) > 400
+    cam = cameras[cam_id]
+    assert cam.model == "FULL_OPENCV"
+    assert len(cam.params) == 12
+    assert abs(cam.params[0] - p12[0]) / p12[0] < 0.03
+    np.testing.assert_allclose(cam.params[8:], p12[8:])
+    from deep_image_matching_tpu.io.colmap_read_write_model import qvec2rotmat
+
+    Rrec = {im.name: qvec2rotmat(im.qvec) for im in images.values()}
+    for i in range(len(poses)):
+        for j in range(i + 1, len(poses)):
+            Rg = (
+                G.rotvec_to_matrix(poses[j, :3])
+                @ G.rotvec_to_matrix(poses[i, :3]).T
+            )
+            Rr = Rrec[f"img{j}.jpg"] @ Rrec[f"img{i}.jpg"].T
+            err = np.degrees(np.linalg.norm(G.matrix_to_rotvec(Rr @ Rg.T)))
+            assert err < 1.0, (i, j, err)
