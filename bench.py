@@ -283,6 +283,7 @@ def _build_crop_project(name: str, n_img: int, size: int = 1024):
     mosaic = np.clip(
         mosaic.astype(np.float32) + field[..., None], 0, 255
     ).astype(np.uint8)
+    origins = {}
     for i in range(n_img):
         dy = (i * 37) % (mosaic.shape[0] - size)
         dx = (i * 53) % (mosaic.shape[1] - size)
@@ -290,6 +291,13 @@ def _build_crop_project(name: str, n_img: int, size: int = 1024):
             str(img_dir / f"img_{i:03d}.jpg"),
             mosaic[dy : dy + size, dx : dx + size],
         )
+        origins[f"img_{i:03d}.jpg"] = (dx, dy)
+    # ground-truth crop origins: crops are pure translations of one mosaic,
+    # so pair (i, j) admits the exact correspondence
+    # x_j = x_i + (origin_i - origin_j); bench_dense_verified_path uses this
+    (proj / "crops.json").write_text(
+        json.dumps({"size": size, "origins": origins})
+    )
     return proj
 
 
@@ -600,6 +608,126 @@ def bench_loftr_pipeline(jax, jnp, rtt, on_tpu):
     return P / best_total, P / best_match, verified
 
 
+def bench_dense_verified_path(jax, jnp, rtt, on_tpu):
+    """Detector-free VERIFIED-match path at LoFTR-scale load, model-free.
+
+    Why this stage exists: random-init dense matchers cannot produce
+    geometrically consistent correspondences — the coarse transformer
+    collapses random features to a near-rank-1 similarity (measured on the
+    crop fixture: <=6 mutual-NN survivors of 4800 coarse cells even at
+    threshold 0, none shift-consistent) — so the loftr/roma scenarios
+    above legitimately verify 0 pairs with random weights and their
+    verified-write path goes unmeasured. This stage drives the REAL
+    production path (``DetectorFreeMatcher.match_all``: per-pair feature
+    appends with index offsetting, raw_matches.h5, size-scaled GV, inlier
+    + ratio gates, matches.h5, then dense-to-multiview track merge) with
+    synthetic translation-consistent correspondences derived from the
+    fixture's known crop origins (2048 matches/pair, 30% injected
+    outliers). Everything except the neural forward is production code.
+    Reference: ``matchers/matcher_base.py:726-741`` (size-scaled GV),
+    ``utils/loftr_roma_to_multiview.py:152-280``.
+
+    Returns (pairs/s over match_all + multiview merge, verified count).
+    """
+    import shutil
+
+    import deep_image_matching_tpu as dim
+    from deep_image_matching_tpu.io.h5 import list_pairs
+    from deep_image_matching_tpu.matchers.matcher_base import (
+        DetectorFreeMatcher,
+    )
+    from deep_image_matching_tpu.utils.dense_to_multiview import (
+        dense_to_multiview,
+    )
+
+    N_IMG = 8
+    SIZE = 640
+    proj = _build_crop_project("dim_tpu_bench_densegv", N_IMG, size=SIZE)
+    meta = json.loads((proj / "crops.json").read_text())
+    origins = {k: np.asarray(v, np.float32) for k, v in meta["origins"].items()}
+    P = N_IMG * (N_IMG - 1) // 2
+
+    class _SyntheticDense(DetectorFreeMatcher):
+        """Production match_all with the neural forward replaced by the
+        fixture's ground-truth translation (+noise +outliers)."""
+
+        def _match_images_batch(self, paths):
+            out = []
+            for p0, p1 in paths:
+                shift = origins[p0.name] - origins[p1.name]
+                rng = np.random.default_rng(
+                    abs(hash((p0.name, p1.name))) % (2**31)
+                )
+                k0 = rng.uniform(0, SIZE - 1, (2048, 2)).astype(np.float32)
+                k1 = k0 + shift + rng.normal(0, 0.4, k0.shape)
+                bad = rng.random(len(k0)) < 0.3
+                k1[bad] = rng.uniform(0, SIZE - 1, (int(bad.sum()), 2))
+                keep = np.all((k1 >= 0) & (k1 <= SIZE - 1), axis=1)
+                out.append(
+                    (k0[keep], k1[keep].astype(np.float32))
+                )
+            return out
+
+    from itertools import combinations
+
+    names = sorted(origins)
+    pairs = list(combinations(names, 2))
+
+    def one(tag):
+        out = proj / f"out_{tag}"
+        config = dim.Config(
+            args={
+                "dir": str(proj), "outs": str(out), "pipeline": "loftr",
+                "strategy": "bruteforce", "skip_reconstruction": True,
+                "force": True,
+            },
+        )
+        # the production detector-free template with only the forward
+        # replaced; no ImageMatcher (its LoFTR construction is not under
+        # test here and its stages are measured by bench_loftr_pipeline)
+        matcher_obj = _SyntheticDense(
+            {
+                "general": config.general,
+                "extractor": config.extractor,
+                "matcher": config.matcher,
+            }
+        )
+        fpath = out / "features.h5"
+        mpath = out / "matches.h5"
+        for p in (fpath, mpath, mpath.parent / "raw_matches.h5"):
+            if p.exists():
+                p.unlink()
+        t0 = time.time()
+        matcher_obj.match_all(pairs, fpath, mpath)
+        t_match = time.time() - t0
+        n_ver = len(list_pairs(mpath)) if mpath.exists() else 0
+        t0 = time.time()
+        dense_to_multiview(
+            fpath, mpath, out / "database.db", proj / "images",
+        )
+        t_merge = time.time() - t0
+        return t_match, t_merge, n_ver
+
+    t0 = time.time()
+    one("warm")
+    log(f"dense-gv warmup: {time.time() - t0:.1f}s")
+    best, verified = float("inf"), 0
+    for r in range(2):
+        t_match, t_merge, n_ver = one(f"t{r}")
+        log(
+            f"dense-gv run {r}: match_all={t_match:.2f}s merge={t_merge:.2f}s "
+            f"verified={n_ver}/{P} -> {P/(t_match+t_merge):.2f} pairs/s"
+        )
+        best = min(best, t_match + t_merge)
+        verified = max(verified, n_ver)
+    shutil.rmtree(proj, ignore_errors=True)
+    log(
+        f"dense verified path ({N_IMG} imgs / {P} pairs, 2048 matches/pair, "
+        f"30% outliers): {P/best:.2f} pairs/s, {verified}/{P} verified"
+    )
+    return P / best, verified
+
+
 def bench_roma_pipeline(jax, jnp, rtt, on_tpu):
     """BASELINE scenario 5: dense RoMa matching end-to-end through
     ImageMatcher (coarse 560 symmetric + 864 upsample refinement + ON-DEVICE
@@ -832,6 +960,17 @@ def main():
             log("skipping bench_loftr_pipeline: time budget low")
     except Exception as e:  # noqa: BLE001
         log(f"bench_loftr_pipeline failed: {e!r}")
+    try:
+        if _left() > 60:
+            dense_pps, dense_ver = bench_dense_verified_path(
+                jax, jnp, rtt, on_tpu
+            )
+            res["dense_gv_pairs_per_s"] = round(dense_pps, 2)
+            res["dense_gv_verified_pairs"] = int(dense_ver)
+        else:
+            log("skipping bench_dense_verified_path: time budget low")
+    except Exception as e:  # noqa: BLE001
+        log(f"bench_dense_verified_path failed: {e!r}")
     try:
         if _left() > 150:
             roma_pps, roma_ver = bench_roma_pipeline(jax, jnp, rtt, on_tpu)
