@@ -851,6 +851,12 @@ def main():
     t_start = time.time()
     res = {}
     done = threading.Event()
+    # stage scheduling (_left) and the watchdog share ONE deadline: when the
+    # watchdog grants the device-init-stall extension, the stages must see
+    # the extra time too — otherwise a ~10 min tunnel init eats the budget
+    # and every stage gets skipped even though the watchdog would have
+    # waited (exactly what happened on a round-5 run)
+    state = {"deadline": t_start + budget, "device_ready": None}
 
     def _watchdog():
         if not done.wait(timeout=budget):
@@ -859,13 +865,17 @@ def main():
                 # stalling ~10 min at device init (observed when a bench
                 # starts <5 min after another TPU process exits). An empty
                 # emit scores zero regardless, so waiting longer can only
-                # help; one bounded extension.
+                # help; one bounded extension sized to what the stall ate.
                 extra = float(os.environ.get("DIM_BENCH_STALL_EXTRA_S", "420"))
+                ready = state["device_ready"]
+                if ready is not None:
+                    extra = max(extra, ready - t_start)
                 log(
                     f"bench watchdog: budget {budget:.0f}s exhausted with NO "
                     f"completed stage (device-init stall?); extending "
                     f"{extra:.0f}s"
                 )
+                state["deadline"] = time.time() + extra
                 if done.wait(timeout=extra):
                     return
             log(f"bench watchdog: budget {budget:.0f}s exhausted, emitting partial result")
@@ -894,9 +904,10 @@ def main():
     log(f"device: {dev}")
     rtt = measure_rtt(jnp)
     log(f"rtt: {rtt * 1000:.1f} ms")
+    state["device_ready"] = time.time()
 
     def _left():
-        return budget - (time.time() - t_start)
+        return state["deadline"] - time.time()
 
     try:
         kernel_pps, tflops, mfu = bench_kernel(jax, jnp, lg, rtt, on_tpu)
