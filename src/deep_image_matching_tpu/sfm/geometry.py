@@ -188,6 +188,73 @@ def full_opencv_undistort_normalized(p12: np.ndarray, xyd: np.ndarray) -> np.nda
 # stays on the OPENCV/pinhole intr8 model.
 
 
+def fov_distort_normalized(omega: float, xy: np.ndarray) -> np.ndarray:
+    """COLMAP FOV model (7, Devernay-Faugeras): r_d = atan(2 r tan(w/2))/w.
+    Exact closed-form in both directions."""
+    xy = np.asarray(xy, np.float64)
+    r = np.sqrt(np.sum(xy * xy, axis=-1, keepdims=True))
+    if abs(omega) < 1e-9:
+        return xy.copy()
+    t = 2.0 * np.tan(omega / 2.0)
+    rd = np.arctan(r * t) / omega
+    scale = np.where(r < 1e-12, t / omega, rd / np.where(r < 1e-12, 1.0, r))
+    return xy * scale
+
+
+def fov_undistort_normalized(omega: float, xyd: np.ndarray) -> np.ndarray:
+    """Exact inverse of the FOV model: r = tan(r_d w) / (2 tan(w/2))."""
+    xyd = np.asarray(xyd, np.float64)
+    rd = np.sqrt(np.sum(xyd * xyd, axis=-1, keepdims=True))
+    if abs(omega) < 1e-9:
+        return xyd.copy()
+    t = 2.0 * np.tan(omega / 2.0)
+    r = np.tan(rd * omega) / t
+    scale = np.where(rd < 1e-12, omega / t, r / np.where(rd < 1e-12, 1.0, rd))
+    return xyd * scale
+
+
+def thin_prism_distort_normalized(p12: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    """COLMAP THIN_PRISM_FISHEYE (10): equidistant projection, then radial
+    k1..k4 + tangential p1 p2 + thin-prism sx1 sy1 on the fisheye-projected
+    coords. params p12 = (fx, fy, cx, cy, k1, k2, p1, p2, k3, k4, sx1, sy1)."""
+    p12 = np.asarray(p12, np.float64).ravel()
+    k1, k2, p1, p2, k3, k4, sx1, sy1 = p12[4:12]
+    xy = np.asarray(xy, np.float64)
+    # equidistant (fisheye) projection first, plain theta (no poly here)
+    r = np.sqrt(np.sum(xy * xy, axis=-1, keepdims=True))
+    theta = np.arctan(r)
+    xy = xy * np.where(
+        r < 1e-12, 1.0, theta / np.where(r < 1e-12, 1.0, r)
+    )
+    x, y = xy[..., 0:1], xy[..., 1:2]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x) + sx1 * r2
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y + sy1 * r2
+    return np.concatenate([xd, yd], axis=-1)
+
+
+def thin_prism_undistort_normalized(p12: np.ndarray, xyd: np.ndarray) -> np.ndarray:
+    """Inverse of ``thin_prism_distort_normalized``: fixed-point on the
+    polynomial stage, then exact r = tan(theta) for the equidistant stage."""
+    p12 = np.asarray(p12, np.float64).ravel()
+    k1, k2, p1, p2, k3, k4, sx1, sy1 = p12[4:12]
+    xyd = np.asarray(xyd, np.float64)
+    xy = xyd.copy()
+    for _ in range(12):
+        x, y = xy[..., 0:1], xy[..., 1:2]
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x) + sx1 * r2
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y + sy1 * r2
+        xy = (xyd - np.concatenate([dx, dy], axis=-1)) / radial
+    theta = np.sqrt(np.sum(xy * xy, axis=-1, keepdims=True))
+    r = np.tan(theta)
+    return xy * np.where(
+        theta < 1e-12, 1.0, r / np.where(theta < 1e-12, 1.0, theta)
+    )
+
+
 def fisheye_distort_normalized(k: np.ndarray, xy: np.ndarray) -> np.ndarray:
     """Ideal-pinhole normalized coords -> equidistant-distorted normalized
     coords. ``k``: (4,) [k1, k2, k3, k4]; xy: (..., 2)."""

@@ -12,11 +12,12 @@ Scope: this mapper targets the framework's example-scale scenes (tens to
 hundreds of images) with SIMPLE_PINHOLE / PINHOLE / SIMPLE_RADIAL / RADIAL /
 OPENCV cameras (full radial+tangential distortion in projection,
 undistortion, and bundle adjustment), FULL_OPENCV (rational tail k3..k6
-rectified to plain OPENCV at load, fixed thereafter), plus the equidistant
-fisheye family
-OPENCV_FISHEYE / SIMPLE_RADIAL_FISHEYE / RADIAL_FISHEYE (keypoints
-rectified to an ideal pinhole frame at load; BA refines f/c while the
-fisheye coefficients stay at their calibrated values). A disconnected
+rectified to plain OPENCV at load, fixed thereafter), the equidistant
+fisheye family OPENCV_FISHEYE / SIMPLE_RADIAL_FISHEYE / RADIAL_FISHEYE,
+and FOV / THIN_PRISM_FISHEYE — i.e. every COLMAP camera model (ids 0-10).
+Fisheye/FOV/thin-prism keypoints are rectified to an ideal pinhole frame
+at load; BA refines f/c while the calibrated distortion passes through to
+export unchanged. A disconnected
 scene graph is mapped per connected component and the largest model kept
 (reference via COLMAP: ``reconstruction.py:81-89``). pycolmap remains the
 preferred backend for full COLMAP fidelity when installed.
@@ -75,6 +76,8 @@ def load_database(database_path: Path) -> SfMData:
     cur = con.cursor()
     cameras: Dict[int, dict] = {}
     full_rational: Dict[int, np.ndarray] = {}  # FULL_OPENCV k3..k6 to rectify
+    rectify_fov: Dict[int, float] = {}         # FOV omega to rectify
+    rectify_thin_prism: Dict[int, np.ndarray] = {}  # THIN_PRISM_FISHEYE
     for cam_id, model, width, height, params, _prior in cur.execute(
         "SELECT camera_id, model, width, height, params, prior_focal_length "
         "FROM cameras"
@@ -99,6 +102,13 @@ def load_database(database_path: Path) -> SfMData:
             intr = np.array([p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7]])
             if np.any(p[8:12] != 0.0):
                 full_rational[cam_id] = p[:12].copy()
+        elif model == 7:  # FOV fx fy cx cy omega
+            intr = np.array([p[0], p[1], p[2], p[3], z, z, z, z])
+            if p[4] != 0.0:
+                rectify_fov[cam_id] = float(p[4])
+        elif model == 10:  # THIN_PRISM_FISHEYE (12 params)
+            intr = np.array([p[0], p[1], p[2], p[3], z, z, z, z])
+            rectify_thin_prism[cam_id] = p[:12].copy()
         elif model in (5, 8, 9):  # *_FISHEYE (equidistant) family
             # carried as the ideal-pinhole equivalent; keypoints are
             # rectified below and the original distortion is kept for export
@@ -130,6 +140,10 @@ def load_database(database_path: Path) -> SfMData:
             cameras[cam_id]["fisheye_k"] = fk
         if cam_id in full_rational:
             cameras[cam_id]["full_rational"] = full_rational[cam_id]
+        if cam_id in rectify_fov:
+            cameras[cam_id]["fov_omega"] = rectify_fov[cam_id]
+        if cam_id in rectify_thin_prism:
+            cameras[cam_id]["thin_prism"] = rectify_thin_prism[cam_id]
     image_names, image_cam = {}, {}
     for image_id, name, cam_id in cur.execute(
         "SELECT image_id, name, camera_id FROM images"
@@ -160,17 +174,20 @@ def load_database(database_path: Path) -> SfMData:
     # reference refines fisheye distortion only via pycolmap/COLMAP.
     keypoints_raw: Dict[int, np.ndarray] = {}
     fisheye_cams = {c for c, cam in cameras.items() if "fisheye_k" in cam}
-    rational_cams = set(full_rational)
-    if fisheye_cams or rational_cams:
+    rectified = (
+        fisheye_cams | set(full_rational) | set(rectify_fov)
+        | set(rectify_thin_prism)
+    )
+    if rectified:
         logger.info(
-            f"Rectifying keypoints of {len(fisheye_cams)} fisheye and "
-            f"{len(rational_cams)} FULL_OPENCV camera(s) at load "
-            "(equidistant -> ideal pinhole; rational tail -> plain OPENCV; "
-            "rectified terms held fixed during refinement)"
+            f"Rectifying keypoints of {len(rectified)} camera(s) at load "
+            "(fisheye/FOV/thin-prism -> ideal pinhole; FULL_OPENCV rational "
+            "tail -> plain OPENCV; rectified terms held fixed during "
+            "refinement)"
         )
         for image_id, kp in keypoints.items():
             cid = image_cam.get(image_id)
-            if cid not in fisheye_cams | rational_cams or not len(kp):
+            if cid not in rectified or not len(kp):
                 continue
             cam = cameras[cid]
             intr = cam["intr"]
@@ -178,6 +195,14 @@ def load_database(database_path: Path) -> SfMData:
             xyd = (kp - intr[2:4]) / intr[0:2]
             if cid in fisheye_cams:
                 xy = geom.fisheye_undistort_normalized(cam["fisheye_k"], xyd)
+                keypoints[image_id] = xy * intr[0:2] + intr[2:4]
+            elif cid in rectify_fov:
+                xy = geom.fov_undistort_normalized(rectify_fov[cid], xyd)
+                keypoints[image_id] = xy * intr[0:2] + intr[2:4]
+            elif cid in rectify_thin_prism:
+                xy = geom.thin_prism_undistort_normalized(
+                    rectify_thin_prism[cid], xyd
+                )
                 keypoints[image_id] = xy * intr[0:2] + intr[2:4]
             else:
                 # FULL_OPENCV: invert the full rational model, re-apply the
@@ -861,6 +886,13 @@ class IncrementalMapper:
                 name = "FULL_OPENCV"
                 params = [fx, fy, cx, cy, k1, k2, p1, p2,
                           kr[0], kr[1], kr[2], kr[3]]
+            elif model == 7:
+                name = "FOV"
+                params = [fx, fy, cx, cy, cam.get("fov_omega", 0.0)]
+            elif model == 10:
+                tp = cam.get("thin_prism", np.zeros(12))
+                name = "THIN_PRISM_FISHEYE"
+                params = [fx, fy, cx, cy, *tp[4:12]]
             elif model in (5, 8, 9):
                 # refined pinhole part + the fixed equidistant coefficients
                 fk = cam.get("fisheye_k", np.zeros(4))

@@ -757,3 +757,109 @@ def test_incremental_mapper_full_opencv_scene(tmp_path):
             Rr = Rrec[f"img{j}.jpg"] @ Rrec[f"img{i}.jpg"].T
             err = np.degrees(np.linalg.norm(G.matrix_to_rotvec(Rr @ Rg.T)))
             assert err < 1.0, (i, j, err)
+
+
+@pytest.mark.parametrize(
+    "model_id,model_name,params,distort",
+    [
+        (7, "FOV", [520.0, 520.0, 320.0, 240.0, 0.75],
+         lambda p, xy: G.fov_distort_normalized(p[4], xy)),
+        (10, "THIN_PRISM_FISHEYE",
+         [520.0, 520.0, 320.0, 240.0,
+          -0.02, 0.005, 0.0008, -0.0004, 0.0002, -0.0001, 0.0008, -0.0006],
+         lambda p, xy: G.thin_prism_distort_normalized(np.asarray(p), xy)),
+    ],
+)
+def test_incremental_mapper_fov_thin_prism(tmp_path, model_id, model_name,
+                                           params, distort):
+    """FOV and THIN_PRISM_FISHEYE cameras: rectified to pinhole at load,
+    full registration, model/params round-trip (completes COLMAP camera
+    models 0-10; reference reaches these only via pycolmap)."""
+    from deep_image_matching_tpu.io.colmap_db import COLMAPDatabase
+    from deep_image_matching_tpu.sfm.incremental import (
+        native_incremental_mapping,
+    )
+
+    rng = np.random.default_rng(13)
+    params = np.asarray(params, np.float64)
+    X = rng.uniform([-3, -3, 6], [3, 3, 12], (900, 3))
+    poses = []
+    for i in range(6):
+        rv = rng.normal(0, 0.08, 3)
+        R = G.rotvec_to_matrix(rv)
+        c = np.array([i * 0.8 - 2, rng.normal(0, 0.2), rng.normal(0, 0.2)])
+        poses.append(np.concatenate([rv, -R @ c]))
+    poses = np.array(poses)
+
+    kpts, vis_ids = [], []
+    for p in poses:
+        R = G.rotvec_to_matrix(p[:3])
+        Xc = X @ R.T + p[3:]
+        z = Xc[:, 2]
+        xy = Xc[:, :2] / np.where(np.abs(z) < 1e-12, 1e-12, z)[:, None]
+        uv = distort(params, xy) * params[0:2] + params[2:4]
+        vis = (
+            (z > 0)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < 640)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < 480)
+        )
+        ids = np.where(vis)[0]
+        ids = ids[rng.permutation(len(ids))]
+        kpts.append(uv[ids] + rng.normal(0, 0.3, (len(ids), 2)))
+        vis_ids.append(ids)
+
+    db = COLMAPDatabase.connect(tmp_path / "database.db")
+    db.create_tables()
+    cam_id = db.add_camera(model_id, 640, 480, params)
+    img_ids = []
+    for i in range(len(poses)):
+        iid = db.add_image(f"img{i}.jpg", cam_id)
+        db.add_keypoints(iid, kpts[i].astype(np.float32))
+        img_ids.append(iid)
+    for i in range(len(poses)):
+        for j in range(i + 1, len(poses)):
+            _, ia, ib = np.intersect1d(
+                vis_ids[i], vis_ids[j], return_indices=True
+            )
+            m = np.stack([ia, ib], axis=1).astype(np.uint32)
+            db.add_matches(img_ids[i], img_ids[j], m)
+            db.add_two_view_geometry(img_ids[i], img_ids[j], m)
+    db.commit()
+    db.close()
+
+    res = native_incremental_mapping(
+        tmp_path / "database.db", tmp_path, tmp_path
+    )
+    assert res is not None
+    cameras, images, points3D = res
+    assert len(images) == len(poses)
+    assert len(points3D) > 400
+    cam = cameras[cam_id]
+    assert cam.model == model_name
+    assert len(cam.params) == len(params)
+    assert abs(cam.params[0] - params[0]) / params[0] < 0.03
+    np.testing.assert_allclose(cam.params[4:], params[4:])
+    from deep_image_matching_tpu.io.colmap_read_write_model import qvec2rotmat
+
+    Rrec = {im.name: qvec2rotmat(im.qvec) for im in images.values()}
+    for i in range(len(poses)):
+        for j in range(i + 1, len(poses)):
+            Rg = (
+                G.rotvec_to_matrix(poses[j, :3])
+                @ G.rotvec_to_matrix(poses[i, :3]).T
+            )
+            Rr = Rrec[f"img{j}.jpg"] @ Rrec[f"img{i}.jpg"].T
+            err = np.degrees(np.linalg.norm(G.matrix_to_rotvec(Rr @ Rg.T)))
+            assert err < 1.0, (i, j, err)
+
+
+def test_fov_thin_prism_roundtrips():
+    rng = np.random.default_rng(4)
+    xy = rng.uniform(-0.8, 0.8, (400, 2))
+    for w in (0.9, 0.3):
+        d = G.fov_distort_normalized(w, xy)
+        assert np.abs(G.fov_undistort_normalized(w, d) - xy).max() < 1e-12
+    p12 = np.array([500, 500, 320, 240, -0.02, 0.005, 0.001, -0.0005,
+                    0.0002, -0.0001, 0.0008, -0.0006])
+    d = G.thin_prism_distort_normalized(p12, xy)
+    assert np.abs(G.thin_prism_undistort_normalized(p12, d) - xy).max() < 1e-9
