@@ -1192,6 +1192,33 @@ def native_incremental_mapping(
         write_model(cameras, images, points3D, rec_dir, ext=".txt")
     if export_ply:
         write_ply(rec_dir / "model.ply", points3D)
+    # per-image registration report artifact: why each absent image is
+    # absent (reasons from the winning mapper; images in OTHER connected
+    # components are named as such — COLMAP users get this by inspecting
+    # the other models/N directories)
+    try:
+        report = dict(mapper.registration_report())
+        if len(comps) > 1:
+            kept = set(mapper.data.image_names)
+            for ci, comp in enumerate(comps):
+                if comp == kept or not (comp - kept):
+                    continue
+                for i in comp - kept:
+                    report[data.image_names[i]] = (
+                        f"in connected component {ci} (size {len(comp)}) — "
+                        "mapped as a separate model; the largest model "
+                        "was kept"
+                    )
+        lines = [
+            f"registered {len(images)}/{len(data.image_names)} images, "
+            f"{len(points3D)} 3D points",
+        ]
+        lines += [f"{name}: {reason}" for name, reason in sorted(report.items())]
+        (rec_dir / "registration_report.txt").write_text(
+            "\n".join(lines) + "\n"
+        )
+    except Exception as e:  # the report must never fail the reconstruction
+        logger.debug(f"registration report write failed: {e}")
     logger.info(
         f"Native reconstruction written to {rec_dir} "
         f"({len(images)} images, {len(points3D)} points)"

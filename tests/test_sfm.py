@@ -539,6 +539,11 @@ def test_disconnected_scene_graph_keeps_largest_model(tmp_path):
     # the larger (5-image) cluster wins; nothing from the small one leaks in
     assert names == {f"c1_img{i}.jpg" for i in range(5)}
     assert len(points3D) > 300
+    # the registration-report artifact names the other component's images
+    report = (tmp_path / "reconstruction" / "registration_report.txt").read_text()
+    for i in range(3):
+        assert f"c2_img{i}.jpg" in report
+    assert "connected component" in report
 
     # per-image failure reasons: map only cluster A's subgraph and ask why
     # cluster B never registered
