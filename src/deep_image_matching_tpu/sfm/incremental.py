@@ -1167,7 +1167,7 @@ def native_incremental_mapping(
             f"(sizes {[len(c) for c in comps]}); mapping each and keeping "
             "the largest model"
         )
-        best_key = None
+        best_key, mapped = None, []
         for ci, comp in enumerate(comps):
             m = IncrementalMapper(_component_subset(data, comp), opt)
             ok = m.run()
@@ -1176,12 +1176,15 @@ def native_incremental_mapping(
                 f"Component {ci}: {'mapped' if ok else 'FAILED'} "
                 f"{n_reg}/{len(comp)} images, {n_pts} points"
             )
+            if ok:
+                mapped.append((ci, m))
             key = (n_reg, n_pts) if ok else (-1, -1)
             if best_key is None or key > best_key:
                 best_key, mapper = key, m
         if best_key is None or best_key[0] < 2:
             return None
     else:
+        mapped = []
         mapper = IncrementalMapper(data, opt)
         if not mapper.run():
             return None
@@ -1190,6 +1193,20 @@ def native_incremental_mapping(
     cameras, images, points3D = mapper.to_colmap_model(image_dir)
     if export_text:
         write_model(cameras, images, points3D, rec_dir, ext=".txt")
+        # COLMAP writes EVERY model under models/N before the reference
+        # picks the largest (reconstruction.py:81-89); mirror that so the
+        # smaller components are not lost
+        for ci, m in mapped:
+            if m is mapper:
+                continue
+            mdir = rec_dir / "models" / str(ci)
+            mdir.mkdir(parents=True, exist_ok=True)
+            c2, i2, p2 = m.to_colmap_model(image_dir)
+            write_model(c2, i2, p2, mdir, ext=".txt")
+            logger.info(
+                f"Secondary model (component {ci}): {len(i2)} images, "
+                f"{len(p2)} points -> {mdir}"
+            )
     if export_ply:
         write_ply(rec_dir / "model.ply", points3D)
     # per-image registration report artifact: why each absent image is

@@ -544,6 +544,18 @@ def test_disconnected_scene_graph_keeps_largest_model(tmp_path):
     for i in range(3):
         assert f"c2_img{i}.jpg" in report
     assert "connected component" in report
+    # the smaller component is exported as a secondary model (COLMAP's
+    # models/N layout), not lost
+    from deep_image_matching_tpu.io.colmap_read_write_model import read_model
+
+    models_dir = tmp_path / "reconstruction" / "models"
+    subdirs = sorted(p for p in models_dir.iterdir() if p.is_dir())
+    assert len(subdirs) == 1
+    _, imgs2, pts2 = read_model(subdirs[0], ".txt")
+    assert {im.name for im in imgs2.values()} == {
+        f"c2_img{i}.jpg" for i in range(3)
+    }
+    assert len(pts2) > 100
 
     # per-image failure reasons: map only cluster A's subgraph and ask why
     # cluster B never registered
