@@ -147,3 +147,55 @@ def test_gv_jax_ransac_device_path():
     assert F is not None
     assert mask[truth].mean() > 0.8
     assert mask[~truth].mean() < 0.25
+
+
+def test_corrupt_image_raises_clear_error(tmp_path):
+    """A non-decodable file raises a clear ValueError naming the path
+    (the reference's bare cv2.imread at ``extractor_base.py:241`` crashes
+    later with an AttributeError on None). Failing the run is intentional:
+    silently dropping an image would dangle its pairs."""
+    import cv2
+    import numpy as np
+    import pytest
+
+    from deep_image_matching_tpu.utils.image import read_image
+
+    p = tmp_path / "bad.jpg"
+    p.write_bytes(b"not an image at all")
+    with pytest.raises(ValueError, match="bad.jpg"):
+        read_image(p)
+    # and a good image still reads
+    g = tmp_path / "good.png"
+    cv2.imwrite(str(g), np.zeros((8, 8, 3), np.uint8))
+    assert read_image(g).shape[:2] == (8, 8)
+
+
+def test_single_image_project_runs_with_zero_pairs(tmp_path):
+    """One image -> zero pairs -> empty (but present) artifacts, no crash."""
+    import cv2
+    import numpy as np
+
+    import deep_image_matching_tpu as dim
+
+    (tmp_path / "images").mkdir()
+    rng = np.random.default_rng(0)
+    cv2.imwrite(
+        str(tmp_path / "images" / "only.png"),
+        rng.integers(0, 255, (80, 100, 3), np.uint8),
+    )
+    cfg = dim.Config(
+        args={
+            "dir": str(tmp_path), "pipeline": "sift+kornia_matcher",
+            "strategy": "bruteforce", "skip_reconstruction": True,
+            "force": True,
+        }
+    )
+    im = dim.ImageMatcher(cfg)
+    pairs = im.generate_pairs()
+    assert pairs == []
+    fpath = im.extract_features()
+    assert fpath.exists()
+    import h5py
+
+    with h5py.File(str(fpath), "r") as f:
+        assert "only.png" in f
