@@ -76,6 +76,9 @@ class ALIKEDExtractor(ExtractorBase):
         self.batch_size = int(
             self.config.get("general", {}).get("tpu", {}).get("extract_batch_size", 4)
         )
+        self.pixel_budget = int(
+            self.conf.get("pixel_budget", type(self).pixel_budget)
+        )
 
     def extract_batch(self, images: List[Image], feature_path) -> None:
         if self.tile_selection is not TileSelection.NONE:
@@ -157,7 +160,9 @@ class ALIKEDExtractor(ExtractorBase):
     # resolution, so HBM scales with batch * pixels: cap the device batch by
     # a pixel budget (4 x 1 MP fits comfortably on v5e at C<=128) and bisect
     # on OOM (reference handles CUDA OOM by falling back to tiling,
-    # matcher_base.py:246-256; for extraction a smaller batch suffices)
+    # matcher_base.py:246-256; for extraction a smaller batch suffices).
+    # Tunable via extractor conf ``pixel_budget`` (the OOM bisection makes
+    # a too-large value safe, just slower on the retry).
     pixel_budget = 4_200_000
 
     def _run(self, prepped, dev_sink: list | None = None) -> list:
