@@ -192,3 +192,34 @@ def test_bilinear_zeropad_wide_matches_plain():
     got = np.asarray(bilinear_sample_zeropad_wide(fmap, jnp.asarray(coords)))
     ref = np.asarray(bilinear_sample_zeropad(fmap, jnp.asarray(coords)))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_pixel_budget_conf_knob():
+    """``extractor: {pixel_budget: N}`` caps the device batch size
+    (round-5 tiled-budget A/B knob); default comes from the class attr."""
+    from deep_image_matching_tpu.extractors.aliked import ALIKEDExtractor
+
+    if not ALIKED_WEIGHTS.exists():
+        pytest.skip("bundled ALIKED checkpoint not present")
+
+    base = {
+        "general": {},
+        "extractor": {"name": "aliked", "model_name": "aliked-n16rot"},
+    }
+    ex = ALIKEDExtractor(base)
+    assert ex.pixel_budget == ALIKEDExtractor.pixel_budget
+
+    tuned = {
+        "general": {},
+        "extractor": {
+            "name": "aliked",
+            "model_name": "aliked-n16rot",
+            "pixel_budget": 6_000_000,
+        },
+    }
+    ex2 = ALIKEDExtractor(tuned)
+    assert ex2.pixel_budget == 6_000_000
+    # the cap math: 1216px tiles -> 4 fit at 6.0 MP, 2 at the 4.2 MP default
+    ph = pw = 1216
+    assert max(1, min(4, ex2.pixel_budget // (ph * pw))) == 4
+    assert max(1, min(4, ex.pixel_budget // (ph * pw))) == 2
