@@ -144,6 +144,11 @@ def extract(
     nms_radius: int = 2,
 ) -> Dict[str, jnp.ndarray]:
     desc_map, score_map = dense_forward(params, images)
+    # Materialize the full-res maps before the sparse consumers — same XLA
+    # fusion hazard as ALIKED (aliked.py:extract): the multi-scale
+    # upsample/concat/head producer otherwise re-evaluates inside each
+    # descriptor/score gather (2.2x measured there at 2x1216px).
+    desc_map, score_map = jax.lax.optimization_barrier((desc_map, score_map))
     kpts, scores, _, valid = dkd_detect(
         score_map, valid_hw, max_keypoints, scores_th, nms_radius
     )

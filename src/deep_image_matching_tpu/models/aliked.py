@@ -347,6 +347,15 @@ def extract(
     (padded) input; trim/rescale on host."""
     _, _, _, _, dim, K, M = CFGS[model_name]
     feature_map, score_map = dense_forward(params, images, compute_dtype)
+    # Force materialization of the dense maps before the sparse consumers.
+    # Without this barrier XLA fuses the full-resolution producer chain
+    # (multi-scale upsample + concat + L2 normalize) into EACH of the
+    # SDDH/DKD gather ops, re-evaluating it several times: measured
+    # 201 -> 90 ms/batch at 2x1216px and 151 -> 117 ms at 4x1024px on
+    # v5e (bitwise-identical outputs; scripts/profile_aliked_extract.py).
+    feature_map, score_map = jax.lax.optimization_barrier(
+        (feature_map, score_map)
+    )
     kpts, scores, _, valid = dkd_detect(
         score_map, valid_hw, max_keypoints, detection_threshold, nms_radius
     )

@@ -88,20 +88,36 @@ def nn_top2(
     B, K0, D = d0.shape
     K1 = d1.shape[1]
     # Pallas edge blocks read out-of-bounds garbage: blocks must tile the
-    # arrays exactly (keypoint capacities are multiples of 128).
+    # arrays exactly. Keypoint capacities are usually multiples of 128
+    # (kpt_pad_multiple), but not always — e.g. ALIKED's default
+    # max_num_keypoints=4000 reaches here through the tiled device match,
+    # and falling back to block=K would stage a (4000, 4000) f32 distance
+    # tile = 64 MB against the 16 MB VMEM scoped limit (compile OOM,
+    # caught on v5e). Pad to the next 128-multiple instead: padded query
+    # rows are trimmed from the outputs; padded reference columns get the
+    # same +1e12 squared-norm offset the callers use for invalid rows, so
+    # they can never win an argmin.
+    pad_m = (-K0) % 128
+    pad_n = (-K1) % 128
+    if pad_m:
+        d0 = jnp.pad(d0, ((0, 0), (0, pad_m), (0, 0)))
+    if pad_n:
+        d1 = jnp.pad(d1, ((0, 0), (0, pad_n), (0, 0)))
+        sq1 = jnp.pad(sq1, ((0, 0), (0, pad_n)), constant_values=1.0e12)
+    Km, Kn = K0 + pad_m, K1 + pad_n
     block_m = next(
-        (b for b in (block_m, 256, 128) if K0 % b == 0 and K0 >= b), K0
+        (b for b in (block_m, 256, 128) if Km % b == 0 and Km >= b), Km
     )
     block_n = next(
-        (b for b in (block_n, 512, 256, 128) if K1 % b == 0 and K1 >= b), K1
+        (b for b in (block_n, 512, 256, 128) if Kn % b == 0 and Kn >= b), Kn
     )
-    sq1 = sq1[:, None, :]  # (B, 1, K1)
+    sq1 = sq1[:, None, :]  # (B, 1, Kn)
 
-    grid = (B, pl.cdiv(K0, block_m), pl.cdiv(K1, block_n))
+    grid = (B, pl.cdiv(Km, block_m), pl.cdiv(Kn, block_n))
     out_shape = [
-        jax.ShapeDtypeStruct((B, K0, 1), jnp.float32),
-        jax.ShapeDtypeStruct((B, K0, 1), jnp.float32),
-        jax.ShapeDtypeStruct((B, K0, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, Km, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, Km, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, Km, 1), jnp.int32),
     ]
     min1, min2, arg = pl.pallas_call(
         _nn_kernel,
@@ -129,7 +145,7 @@ def nn_top2(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(d0, sq1, d1)
-    return min1[..., 0], min2[..., 0], arg[..., 0]
+    return min1[:, :K0, 0], min2[:, :K0, 0], arg[:, :K0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))

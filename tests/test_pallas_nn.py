@@ -74,3 +74,41 @@ def test_nn_top2_statistics():
     np.testing.assert_array_equal(np.asarray(arg), ref_arg)
     np.testing.assert_allclose(np.asarray(min1), ref_min1, atol=1e-4)
     np.testing.assert_allclose(np.asarray(min2), ref_min2, atol=1e-4)
+
+
+def test_fused_nn_non_multiple_capacity():
+    """Capacities that are NOT multiples of 128 (e.g. ALIKED's default
+    max_num_keypoints=4000 via the tiled device match) must pad instead of
+    degrading to block=K — that staged a 64 MB VMEM distance tile and
+    failed to compile on v5e (regression)."""
+    from deep_image_matching_tpu.ops.nn_match import nn_match_batch
+    from deep_image_matching_tpu.ops.pallas_nn import nn_match_fused
+
+    rng = np.random.default_rng(2)
+    B, K0, K1, D = 2, 200, 136, 32
+    d0 = rng.normal(size=(B, K0, D)).astype(np.float32)
+    d1 = rng.normal(size=(B, K1, D)).astype(np.float32)
+    d1[:, :30] = d0[:, :30] + rng.normal(scale=1e-3, size=(B, 30, D)).astype(
+        np.float32
+    )
+    m0 = np.ones((B, K0), bool)
+    m1 = np.ones((B, K1), bool)
+    m0[:, 190:] = False
+    m1[:, 130:] = False
+
+    for mode in ("nn", "mnn", "snn", "smnn"):
+        ref_m, ref_v = nn_match_batch(
+            jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(m0), jnp.asarray(m1),
+            mode=mode, ratio_th=0.9,
+        )
+        got_m, got_v = nn_match_fused(
+            jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(m0), jnp.asarray(m1),
+            mode=mode, ratio_th=0.9,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_v), np.asarray(ref_v), err_msg=mode
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_m)[np.asarray(got_v)],
+            np.asarray(ref_m)[np.asarray(ref_v)], err_msg=mode,
+        )
