@@ -116,16 +116,18 @@ def deform_conv2d(
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     offs = offset.reshape(H, W, KK, 2)
-    taps = []
-    for i in range(kh):
-        for j in range(kw):
-            k = i * kw + j
-            py = ys + (i - padding) + offs[..., k, 0]
-            px = xs + (j - padding) + offs[..., k, 1]
-            taps.append(
-                bilinear_sample_zeropad(x, jnp.stack([px, py], axis=-1))
-            )  # (H, W, Cin)
-    col = jnp.stack(taps, axis=2)  # (H, W, KK, Cin)
+    dy = jnp.arange(kh, dtype=jnp.float32).repeat(kw) - padding  # (KK,)
+    dx = jnp.tile(jnp.arange(kw, dtype=jnp.float32), kh) - padding
+    py = ys[..., None] + dy + offs[..., 0]  # (H, W, KK)
+    px = xs[..., None] + dx + offs[..., 1]
+    # all KK taps through ONE wide gather: the 4 bilinear corners ride in a
+    # single 4*Cin-wide row each, and the 4x concat-map build amortizes
+    # across the taps. The per-tap 4-corner form issued KK*4 row gathers of
+    # Cin floats (832k x 128 B rows for ALIKED block3 at 2x1216 = 26.6 ms
+    # measured); this is KK gathers of 4*Cin (4x fewer, 4x wider).
+    col = bilinear_sample_zeropad_wide(
+        x, jnp.stack([px, py], axis=-1)
+    )  # (H, W, KK, Cin)
     w = weight.reshape(KK, Cin, Cout)
     out = jnp.einsum(
         "hwkc,kco->hwo", col, w, preferred_element_type=jnp.float32
@@ -154,45 +156,52 @@ def extract_patches(
     return flat[idx.reshape(-1)].reshape(*idx.shape, C)
 
 
+def _interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) align_corners=True linear interpolation matrix.
+
+    Two nonzeros per row (lo/hi taps); a clipped hi==lo row sums its two
+    weights to 1, so applying the matrix is EXACTLY the gather formula
+    ``w_lo * x[lo] + (1 - w_lo) * x[hi]`` (the extra terms multiply 0).
+    Expressed as a dense matmul so interpolation runs on the MXU: the
+    former advanced-indexing form gathered one C-row per *output texel*
+    along the W axis (64 B rows at C=32 bf16, ~3M gathers for a 2x1216
+    batch) and measured 40 ms of ALIKED's dense stage; two matmuls move
+    the same data at matrix-unit speed."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), jnp.float32)
+    pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n_in - 1)
+    w_hi = pos - lo
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    return m.at[rows, lo].add(1.0 - w_hi).at[rows, hi].add(w_hi)
+
+
+def _interp_apply(x: jnp.ndarray, Ho: int, Wo: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, Ho, Wo, C) f32 via per-axis interpolation
+    matmuls (numerically identical to the gather form in f32)."""
+    B, H, W, C = x.shape
+    y = x
+    if Ho != H:
+        y = jnp.einsum(
+            "oh,bhwc->bowc", _interp_matrix(H, Ho), y,
+            preferred_element_type=jnp.float32,
+        )
+    if Wo != W:
+        y = jnp.einsum(
+            "ow,bhwc->bhoc", _interp_matrix(W, Wo), y,
+            preferred_element_type=jnp.float32,
+        )
+    return y.astype(jnp.float32) if (Ho == H and Wo == W) else y
+
+
 def resize_bilinear_align(x: jnp.ndarray, size) -> jnp.ndarray:
     """(B, H, W, C) -> (B, size[0], size[1], C) bilinear, align_corners=True."""
-
-    def axis_weights(n_in: int, n_out: int):
-        if n_in == 1:
-            lo = jnp.zeros(n_out, jnp.int32)
-            return lo, lo, jnp.ones(n_out, jnp.float32)
-        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
-        lo = jnp.floor(pos).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, n_in - 1)
-        w_hi = pos - lo
-        return lo, hi, 1.0 - w_hi
-
-    B, H, W, C = x.shape
-    Ho, Wo = size
-    lo, hi, w_lo = axis_weights(H, Ho)
-    x = x[:, lo] * w_lo[None, :, None, None] + x[:, hi] * (1 - w_lo)[None, :, None, None]
-    lo, hi, w_lo = axis_weights(W, Wo)
-    x = x[:, :, lo] * w_lo[None, None, :, None] + x[:, :, hi] * (1 - w_lo)[None, None, :, None]
-    return x
+    return _interp_apply(x, int(size[0]), int(size[1]))
 
 
 def upsample_bilinear_align(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H*f, W*f, C) bilinear with align_corners=True."""
-
-    def axis_weights(n_in: int, n_out: int):
-        if n_in == 1:
-            lo = jnp.zeros(n_out, jnp.int32)
-            return lo, lo, jnp.ones(n_out, jnp.float32)
-        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
-        lo = jnp.floor(pos).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, n_in - 1)
-        w_hi = pos - lo
-        return lo, hi, 1.0 - w_hi
-
     B, H, W, C = x.shape
-    Ho, Wo = H * factor, W * factor
-    lo, hi, w_lo = axis_weights(H, Ho)
-    x = x[:, lo] * w_lo[None, :, None, None] + x[:, hi] * (1 - w_lo)[None, :, None, None]
-    lo, hi, w_lo = axis_weights(W, Wo)
-    x = x[:, :, lo] * w_lo[None, None, :, None] + x[:, :, hi] * (1 - w_lo)[None, None, :, None]
-    return x
+    return _interp_apply(x, H * factor, W * factor)
