@@ -860,20 +860,25 @@ def main():
 
     def _watchdog():
         if not done.wait(timeout=budget):
-            if not res:
-                # nothing completed — almost always the axon tunnel
-                # stalling ~10 min at device init (observed when a bench
-                # starts <5 min after another TPU process exits). An empty
-                # emit scores zero regardless, so waiting longer can only
-                # help; one bounded extension sized to what the stall ate.
+            # While NOTHING has completed — almost always the axon tunnel
+            # stalling at device init (observed 10-16+ min when a bench
+            # starts soon after another TPU process exits) — keep
+            # extending: an empty emit scores zero regardless, so waiting
+            # longer strictly dominates. One round-5 run emitted zeros
+            # after a single 420 s extension because the stall outlasted
+            # it. A hard cap bounds the loop for true hangs.
+            stall_cap = float(
+                os.environ.get("DIM_BENCH_STALL_MAX_S", "3600")
+            )
+            while not res and time.time() - t_start < stall_cap:
                 extra = float(os.environ.get("DIM_BENCH_STALL_EXTRA_S", "420"))
                 ready = state["device_ready"]
                 if ready is not None:
                     extra = max(extra, ready - t_start)
                 log(
-                    f"bench watchdog: budget {budget:.0f}s exhausted with NO "
-                    f"completed stage (device-init stall?); extending "
-                    f"{extra:.0f}s"
+                    f"bench watchdog: {time.time() - t_start:.0f}s elapsed "
+                    f"with NO completed stage (device-init stall?); "
+                    f"extending {extra:.0f}s"
                 )
                 state["deadline"] = time.time() + extra
                 if done.wait(timeout=extra):
