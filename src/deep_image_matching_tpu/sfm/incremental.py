@@ -25,8 +25,10 @@ preferred backend for full COLMAP fidelity when installed.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import sqlite3
+import time
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -295,7 +297,11 @@ class MapperOptions:
     tri_thresh_px: float = 6.0
     tri_min_angle_deg: float = 1.0
     filter_thresh_px: float = 6.0
-    ba_global_every: int = 1           # global BA after every k registrations
+    # 0 = COLMAP-style adaptive schedule (local BA after every registration,
+    # global BA on ~10% model growth + once at the end) — the default; this
+    # is what keeps the mapper O(n log n)-ish instead of O(n^2) in images.
+    # k >= 1 forces a full global BA after every k registrations.
+    ba_global_every: int = 0
     ba_lm_iters: int = 25
     ba_cg_iters: int = 30
     refine_focal: bool = True
@@ -326,6 +332,30 @@ class IncrementalMapper:
         # failed (surfaced by run()'s final report; reference analog: COLMAP
         # logs per-image registration failures during mapping)
         self.reg_failures: Dict[int, str] = {}
+        # phase -> (total seconds, call count); populated by _phase() and
+        # logged by run() so scale runs attribute their mapper wall time
+        self.phase_times: Dict[str, List[float]] = {}
+
+    @contextlib.contextmanager
+    def _phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            acc = self.phase_times.setdefault(name, [0.0, 0])
+            acc[0] += time.perf_counter() - t0
+            acc[1] += 1
+
+    def log_phase_times(self) -> None:
+        total = sum(v[0] for v in self.phase_times.values())
+        logger.info(f"Mapper phase times ({total:.1f} s attributed):")
+        for name, (secs, n) in sorted(
+            self.phase_times.items(), key=lambda kv: -kv[1][0]
+        ):
+            logger.info(
+                f"  {name:<16} {secs:7.1f} s  ({n} calls, "
+                f"{1e3 * secs / max(n, 1):7.1f} ms/call)"
+            )
 
     # -- helpers ----------------------------------------------------------
 
@@ -633,10 +663,19 @@ class IncrementalMapper:
             np.asarray(obs_uv, np.float64), obs_key,
         )
 
-    def global_ba(self) -> None:
+    def global_ba(self, final: bool = False) -> None:
+        """Full-scene bundle adjustment.
+
+        In-loop refinements (``final=False``) run half the LM iterations —
+        they are re-run as the model grows, so full convergence is wasted
+        work (COLMAP likewise caps in-loop BA iterations); the closing BA
+        uses the full ``ba_lm_iters``.
+        """
         opt = self.opt
-        (img_ids, cam_ids, tids, obs_pose, obs_cam, obs_pt, obs_uv,
-         _) = self._gather_problem()
+        n_lm = opt.ba_lm_iters if final else max(10, opt.ba_lm_iters // 2)
+        with self._phase("ba_gather"):
+            (img_ids, cam_ids, tids, obs_pose, obs_cam, obs_pt, obs_uv,
+             _) = self._gather_problem()
         if len(tids) == 0 or len(obs_pose) == 0:
             return
         poses = np.stack([self.poses[i] for i in img_ids])
@@ -670,7 +709,7 @@ class IncrementalMapper:
             poses, intr, pts, obs_pose, obs_cam, obs_pt, obs_uv,
             pose_free, intr_free,
             huber_delta_px=opt.filter_thresh_px,
-            n_lm_iters=opt.ba_lm_iters, n_cg_iters=opt.ba_cg_iters,
+            n_lm_iters=n_lm, n_cg_iters=opt.ba_cg_iters,
         )
         for i, im in enumerate(img_ids):
             self.poses[im] = out["poses"][i]
@@ -775,22 +814,31 @@ class IncrementalMapper:
     # -- main loop ---------------------------------------------------------
 
     def run(self) -> bool:
-        if not self.initialize():
+        with self._phase("initialize"):
+            ok = self.initialize()
+        if not ok:
             logger.error("Native mapper: no valid initial pair found")
             return False
-        self.triangulate_new()
-        self.global_ba()
-        self.filter_points()
+        with self._phase("triangulate"):
+            self.triangulate_new()
+        with self._phase("global_ba"):
+            self.global_ba()
+        with self._phase("filter_points"):
+            self.filter_points()
         last_global = len(self.poses)
         since_ba = 0
         relaxed = False
         while True:
-            candidates = self.next_candidates()
+            with self._phase("candidates"):
+                candidates = self.next_candidates()
             progressed = False
             for _, img_id in candidates:
-                if self.register_image(img_id):
+                with self._phase("register"):
+                    registered = self.register_image(img_id)
+                if registered:
                     progressed = True
-                    self.triangulate_new()
+                    with self._phase("triangulate"):
+                        self.triangulate_new()
                     since_ba += 1
                     # ba_global_every >= 1: global BA every k registrations;
                     # 0 = adaptive (local BA each step, global on ~10% growth
@@ -798,12 +846,16 @@ class IncrementalMapper:
                     if self.opt.ba_global_every > 0:
                         run_global = since_ba >= self.opt.ba_global_every
                     else:
-                        self.local_ba(img_id)
+                        with self._phase("local_ba"):
+                            self.local_ba(img_id)
                         run_global = len(self.poses) >= 1.1 * last_global + 1
                     if run_global:
-                        self.global_ba()
-                        self.filter_points()
-                        self.triangulate_new()
+                        with self._phase("global_ba"):
+                            self.global_ba()
+                        with self._phase("filter_points"):
+                            self.filter_points()
+                        with self._phase("triangulate"):
+                            self.triangulate_new()
                         since_ba = 0
                         last_global = len(self.poses)
                     break
@@ -825,8 +877,11 @@ class IncrementalMapper:
                     )
                     continue
                 break
-        self.global_ba()
-        self.filter_points()
+        with self._phase("global_ba"):
+            self.global_ba(final=True)
+        with self._phase("filter_points"):
+            self.filter_points()
+        self.log_phase_times()
         logger.info(
             f"Native mapper: {len(self.poses)}/{len(self.data.image_names)} "
             f"images registered, {len(self.points)} 3D points"
