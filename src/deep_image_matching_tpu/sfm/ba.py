@@ -34,12 +34,16 @@ COLMAP's constant-pose / constant-tvec-x convention.
 
 from __future__ import annotations
 
+import logging
+import time
 from functools import partial
 from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("dim_tpu")
 
 
 class BAProblem(NamedTuple):
@@ -343,8 +347,14 @@ def bundle_adjust(
         intr_free=jnp.asarray(pad(np.asarray(intr_free, dtype), C)),
         point_free=jnp.asarray(pad(pf, Nb)),
     )
+    _t0 = time.perf_counter()
     poses_o, intr_o, pts_o, costs = _ba_solve(
         prob, jnp.asarray(huber_delta_px, dtype), n_lm_iters, n_cg_iters
+    )
+    logger.debug(
+        f"BA solve bucket (M={Mb}, N={Nb}, O={Ob}): "
+        f"{len(costs)}/{n_lm_iters} LM steps, "
+        f"{time.perf_counter() - _t0:.2f} s"
     )
     poses_o = np.asarray(poses_o, np.float64)[:M]
     intr_o = np.asarray(intr_o, np.float64)[:C]
