@@ -880,3 +880,29 @@ def test_fov_thin_prism_roundtrips():
                     0.0002, -0.0001, 0.0008, -0.0006])
     d = G.thin_prism_distort_normalized(p12, xy)
     assert np.abs(G.thin_prism_undistort_normalized(p12, d) - xy).max() < 1e-9
+
+
+def test_bundle_adjust_early_exit_on_converged_problem():
+    """The host-driven LM loop stops once the cost plateaus.
+
+    Feeding bundle_adjust noise-free ground truth (already at the optimum)
+    must exit well before the iteration budget — three consecutive steps
+    under 1e-6 relative decrease (sfm/ba.py::_ba_solve) — instead of
+    burning all n_lm_iters like the old whole-solver scan did.
+    """
+    rng = np.random.default_rng(11)
+    intr, X, poses = _make_scene(rng, k1=0.0)
+    obs_pose, obs_cam, obs_pt, obs_uv = _observations(
+        intr, X, poses, rng, noise=0.0
+    )
+    pose_free = np.ones((len(poses), 6))
+    pose_free[0] = 0
+    pose_free[1, 3] = 0
+    out = bundle_adjust(
+        poses, np.atleast_2d(intr),
+        X, obs_pose, obs_cam, obs_pt, obs_uv,
+        pose_free, np.zeros((1, 4)), n_lm_iters=30, n_cg_iters=30,
+    )
+    assert len(out["costs"]) < 30
+    # and it did not wander away from the optimum
+    assert np.allclose(out["poses"], poses, atol=1e-4)
